@@ -1,0 +1,286 @@
+"""Traversal front-end: closest_hit / any_hit / multi_hit over a Scene.
+
+The reference exposes closest_hit/any_hit/multi_hit over primitive ranges or
+BVHs (traverse.h, detail/traverse_linear.inl:186-380).  Here:
+
+- ``closest_hit(ray, scene)``: full scene query.  Triangles go through the
+  BVH when ``scene.bvh`` is set, else a (chunked) brute-force sweep; spheres
+  and planes are always swept linearly (they are few).
+- ``any_hit(ray, scene, max_t)``: shadow-ray variant with the reference's
+  is_closer(…, max_t) predicate (update_if.h:75-80).
+- ``multi_hit(ray, scene, K)``: top-K nearest hits per ray (multi_hit.h).
+
+All paths are pure jnp and differentiable; the Pallas fast path plugs in at
+the BVH traversal level (ops/pallas).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from visionaray_tpu.core.types import (
+    FLT_MAX, HitRecord, Ray, is_closer, update_if,
+)
+from visionaray_tpu.ops.intersect import (
+    intersect_plane, intersect_sphere, intersect_triangle,
+)
+
+# Primitive-group type tags carried in HitRecord.prim_id's global ordering.
+PRIM_TRIANGLE = 0
+PRIM_SPHERE = 1
+PRIM_PLANE = 2
+
+_CHUNK = 512  # brute-force primitive chunk (keeps the N x F matrix bounded)
+
+
+def _best_of(t, hit, max_t=None):
+    """Select index of the closest valid hit along the last (primitive) axis.
+
+    Validity per reference is_closer (update_if.h:50-57): hit && t >= 0.
+    Returns (best_idx, best_t, best_valid).
+    """
+    valid = hit & (t >= 0.0)
+    if max_t is not None:
+        valid = valid & (t < max_t[..., None])
+    tt = jnp.where(valid, t, FLT_MAX)
+    idx = jnp.argmin(tt, axis=-1)
+    best_t = jnp.take_along_axis(tt, idx[..., None], axis=-1)[..., 0]
+    return idx, best_t, best_t < FLT_MAX
+
+
+def _merge(dst: HitRecord, src: HitRecord, max_t=None) -> HitRecord:
+    return update_if(dst, src, is_closer(src, dst.t, max_t))
+
+
+def intersect_triangles_brute(ray: Ray, v1, e1, e2, geom_ids,
+                              prim_offset: int = 0) -> HitRecord:
+    """Chunked brute-force sweep over a triangle soup. Batched over rays."""
+    F = v1.shape[0]
+    batch = ray.batch_shape
+    o = ray.ori[..., None, :]
+    d = ray.dir[..., None, :]
+
+    if F <= _CHUNK:
+        t, u, v, hit = intersect_triangle(o, d, v1, e1, e2)
+        idx, best_t, best_hit = _best_of(t, hit)
+        take = lambda a: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+        return HitRecord(
+            hit=best_hit,
+            t=jnp.where(best_hit, best_t, FLT_MAX),
+            prim_id=(idx + prim_offset).astype(jnp.int32),
+            geom_id=jnp.take(geom_ids, idx),
+            u=take(u), v=take(v),
+        )
+
+    # scan over primitive chunks, carrying the best hit record
+    n_chunks = -(-F // _CHUNK)
+    pad = n_chunks * _CHUNK - F
+    padf = lambda a: jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0) if pad else a
+    v1p, e1p, e2p = padf(v1), padf(e1), padf(e2)
+    gp = padf(geom_ids)
+    v1c = v1p.reshape(n_chunks, _CHUNK, 3)
+    e1c = e1p.reshape(n_chunks, _CHUNK, 3)
+    e2c = e2p.reshape(n_chunks, _CHUNK, 3)
+    gc = gp.reshape(n_chunks, _CHUNK)
+    valid_count = jnp.minimum(
+        jnp.arange(n_chunks + 1) * _CHUNK, F)  # unused; masking via pid below
+
+    def body(best, chunk):
+        ci, (cv1, ce1, ce2, cg) = chunk
+        t, u, v, hit = intersect_triangle(o, d, cv1, ce1, ce2)
+        local_pid = ci * _CHUNK + jnp.arange(_CHUNK)
+        hit = hit & (local_pid < F)
+        idx, best_t, best_hit = _best_of(t, hit)
+        take = lambda a: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+        src = HitRecord(
+            hit=best_hit,
+            t=jnp.where(best_hit, best_t, FLT_MAX),
+            prim_id=(ci * _CHUNK + idx + prim_offset).astype(jnp.int32),
+            geom_id=jnp.take(cg, idx),
+            u=take(u), v=take(v),
+        )
+        return _merge(best, src), None
+
+    init = HitRecord.none(batch)
+    best, _ = jax.lax.scan(
+        body, init,
+        (jnp.arange(n_chunks), (v1c, e1c, e2c, gc)))
+    return best
+
+
+def intersect_spheres_brute(ray: Ray, center, radius, geom_ids,
+                            prim_offset: int = 0) -> HitRecord:
+    o = ray.ori[..., None, :]
+    d = ray.dir[..., None, :]
+    t, hit = intersect_sphere(o, d, center, radius)
+    idx, best_t, best_hit = _best_of(t, hit)
+    return HitRecord(
+        hit=best_hit,
+        t=jnp.where(best_hit, best_t, FLT_MAX),
+        prim_id=(idx + prim_offset).astype(jnp.int32),
+        geom_id=jnp.take(geom_ids, idx),
+        u=jnp.zeros_like(best_t), v=jnp.zeros_like(best_t),
+    )
+
+
+def intersect_planes_brute(ray: Ray, normal, offset, geom_ids,
+                           prim_offset: int = 0) -> HitRecord:
+    o = ray.ori[..., None, :]
+    d = ray.dir[..., None, :]
+    t, hit = intersect_plane(o, d, normal, offset)
+    idx, best_t, best_hit = _best_of(t, hit)
+    return HitRecord(
+        hit=best_hit,
+        t=jnp.where(best_hit, best_t, FLT_MAX),
+        prim_id=(idx + prim_offset).astype(jnp.int32),
+        geom_id=jnp.take(geom_ids, idx),
+        u=jnp.zeros_like(best_t), v=jnp.zeros_like(best_t),
+    )
+
+
+def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None) -> HitRecord:
+    """Closest-hit query over the whole scene (traverse_linear.inl:286-318)."""
+    best = HitRecord.none(ray.batch_shape)
+    offset = 0
+    if scene.mesh is not None:
+        if use_bvh is None:
+            use_bvh = scene.bvh is not None
+        if use_bvh:
+            from visionaray_tpu.ops.traversal import bvh_closest_hit
+            hr = bvh_closest_hit(ray, scene.bvh, scene.mesh)
+        else:
+            v1, e1, e2 = scene.mesh.corners()
+            hr = intersect_triangles_brute(
+                ray, v1, e1, e2, scene.mesh.geom_ids, offset)
+        best = _merge(best, hr)
+        offset += scene.num_triangles
+    if scene.spheres is not None:
+        hr = intersect_spheres_brute(
+            ray, scene.spheres.center, scene.spheres.radius,
+            scene.spheres.geom_ids, offset)
+        best = _merge(best, hr)
+        offset += scene.num_spheres
+    if scene.planes is not None:
+        hr = intersect_planes_brute(
+            ray, scene.planes.normal, scene.planes.offset,
+            scene.planes.geom_ids, offset)
+        best = _merge(best, hr)
+    return best
+
+
+def any_hit(ray: Ray, scene, max_t, use_bvh: Optional[bool] = None) -> HitRecord:
+    """Any-hit (occlusion) query with max_t (traverse_linear.inl:186-272).
+
+    Semantics: a hit counts iff hit && 0 <= t < max_t.  The jnp tier computes
+    the closest such hit (no early-out in lock-step lanes — same as the
+    reference's SIMD packets which also keep traversing until all lanes
+    terminate); the Pallas tier adds whole-tile early exit.
+    """
+    best = HitRecord.none(ray.batch_shape)
+    offset = 0
+    if scene.mesh is not None:
+        if use_bvh is None:
+            use_bvh = scene.bvh is not None
+        if use_bvh:
+            from visionaray_tpu.ops.traversal import bvh_any_hit
+            hr = bvh_any_hit(ray, scene.bvh, scene.mesh, max_t)
+        else:
+            v1, e1, e2 = scene.mesh.corners()
+            hr = intersect_triangles_brute(
+                ray, v1, e1, e2, scene.mesh.geom_ids, offset)
+        best = update_if(best, hr, is_closer(hr, best.t, max_t))
+        offset += scene.num_triangles
+    if scene.spheres is not None:
+        hr = intersect_spheres_brute(
+            ray, scene.spheres.center, scene.spheres.radius,
+            scene.spheres.geom_ids, offset)
+        best = update_if(best, hr, is_closer(hr, best.t, max_t))
+        offset += scene.num_spheres
+    if scene.planes is not None:
+        hr = intersect_planes_brute(
+            ray, scene.planes.normal, scene.planes.offset,
+            scene.planes.geom_ids, offset)
+        best = update_if(best, hr, is_closer(hr, best.t, max_t))
+    return best
+
+
+def multi_hit(ray: Ray, scene, k: int = 16) -> HitRecord:
+    """Top-K nearest hits per ray, sorted by t (multi_hit.h:32-58; N<=16).
+
+    Returns a HitRecord whose fields have a trailing K axis; unused slots
+    have hit=False, t=FLT_MAX.  jnp tier: brute force + top_k.  Used by the
+    transparency-compositing example (examples/multi_hit/main.cpp:186).
+    """
+    groups = []  # (t, hit, prim_id, geom_id, u, v) each (..., M_g)
+    offset = 0
+    if scene.mesh is not None:
+        v1, e1, e2 = scene.mesh.corners()
+        o = ray.ori[..., None, :]
+        d = ray.dir[..., None, :]
+        t, u, v, hit = intersect_triangle(o, d, v1, e1, e2)
+        pid = jnp.broadcast_to(jnp.arange(v1.shape[0], dtype=jnp.int32),
+                               t.shape)
+        gid = jnp.broadcast_to(scene.mesh.geom_ids, t.shape)
+        groups.append((t, hit, pid + offset, gid, u, v))
+        offset += scene.num_triangles
+    if scene.spheres is not None:
+        o = ray.ori[..., None, :]
+        d = ray.dir[..., None, :]
+        t, hit = intersect_sphere(o, d, scene.spheres.center,
+                                  scene.spheres.radius)
+        pid = jnp.broadcast_to(
+            jnp.arange(scene.num_spheres, dtype=jnp.int32), t.shape)
+        gid = jnp.broadcast_to(scene.spheres.geom_ids, t.shape)
+        z = jnp.zeros_like(t)
+        groups.append((t, hit, pid + offset, gid, z, z))
+        offset += scene.num_spheres
+    if scene.planes is not None:
+        o = ray.ori[..., None, :]
+        d = ray.dir[..., None, :]
+        t, hit = intersect_plane(o, d, scene.planes.normal,
+                                 scene.planes.offset)
+        pid = jnp.broadcast_to(
+            jnp.arange(scene.num_planes, dtype=jnp.int32), t.shape)
+        gid = jnp.broadcast_to(scene.planes.geom_ids, t.shape)
+        z = jnp.zeros_like(t)
+        groups.append((t, hit, pid + offset, gid, z, z))
+
+    t = jnp.concatenate([g[0] for g in groups], axis=-1)
+    hit = jnp.concatenate([g[1] for g in groups], axis=-1)
+    pid = jnp.concatenate([g[2] for g in groups], axis=-1)
+    gid = jnp.concatenate([g[3] for g in groups], axis=-1)
+    u = jnp.concatenate([g[4] for g in groups], axis=-1)
+    v = jnp.concatenate([g[5] for g in groups], axis=-1)
+
+    valid = hit & (t >= 0.0)
+    tt = jnp.where(valid, t, FLT_MAX)
+    kk = min(k, tt.shape[-1])
+    neg_topk, idx = jax.lax.top_k(-tt, kk)
+    take = lambda a: jnp.take_along_axis(a, idx, axis=-1)
+    tk = -neg_topk
+    hitk = tk < FLT_MAX
+    rec = HitRecord(hit=hitk, t=tk, prim_id=take(pid), geom_id=take(gid),
+                    u=take(u), v=take(v))
+    if kk < k:  # pad to the requested K
+        pad = k - kk
+        padf = lambda a, val: jnp.concatenate(
+            [a, jnp.full(a.shape[:-1] + (pad,), val, a.dtype)], axis=-1)
+        rec = HitRecord(
+            hit=padf(rec.hit, False), t=padf(rec.t, FLT_MAX),
+            prim_id=padf(rec.prim_id, 0), geom_id=padf(rec.geom_id, 0),
+            u=padf(rec.u, 0.0), v=padf(rec.v, 0.0))
+    return rec
+
+
+def prim_type_of(scene, prim_id):
+    """Map global prim ids to group tags (triangle/sphere/plane)."""
+    nt = scene.num_triangles
+    ns = scene.num_spheres
+    return jnp.where(
+        prim_id < nt, PRIM_TRIANGLE,
+        jnp.where(prim_id < nt + ns, PRIM_SPHERE, PRIM_PLANE)).astype(jnp.int32)

@@ -1,0 +1,167 @@
+"""BVH traversal — jnp tier (correctness + autodiff oracle for Pallas tier).
+
+Re-derives the reference's stack-based packet traversal
+(detail/bvh/intersect.inl:25-134): a while_loop with a per-ray stack array,
+ordered near-child-first descent, and is_closer-based hit updates.  Batched
+over rays: under vmap/jit the loop runs lock-step with per-lane masks, the
+exact analogue of the reference's SIMD packets.
+
+Differentiability: the search itself is discrete, so it runs under
+stop_gradient inside a while_loop; the returned (prim_id) is then used to
+*recompute* the intersection differentiably at the winning primitive
+(SURVEY.md §7 "recompute-based backward").  Gradients flow to vertices and
+ray origins/directions with fixed hit topology.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from visionaray_tpu.core.types import FLT_MAX, HitRecord, Ray
+from visionaray_tpu.ops.intersect import intersect_aabb, intersect_triangle
+
+STACK_DEPTH = 64
+
+
+def _traverse_one(o, d, node_lo, node_hi, left, right, tri_v1, tri_e1,
+                  tri_e2, prim_ids, max_t, any_hit_mode: bool):
+    """Single-ray stack traversal; vmapped over the ray batch.
+
+    Returns (best_t, best_sorted_leaf, hit) where best_sorted_leaf is the
+    index into prim_ids of the winning primitive (-1 if none).
+    """
+    n = prim_ids.shape[0]
+    leaf_base = n - 1
+    inv_d = 1.0 / d
+
+    stack = jnp.zeros((STACK_DEPTH,), jnp.int32)
+    # state: (node, sp, stack, best_t, best_leaf, done)
+    root = jnp.int32(0 if n > 1 else leaf_base)
+    state = (root, jnp.int32(0), stack, jnp.float32(max_t),
+             jnp.int32(-1), jnp.bool_(False))
+
+    def cond(s):
+        return ~s[5]
+
+    def body(s):
+        node, sp, stack, best_t, best_leaf, done = s
+        is_leaf = node >= leaf_base
+
+        # ---- leaf: intersect primitive, update best
+        sorted_idx = jnp.maximum(node - leaf_base, 0)
+        pid = prim_ids[sorted_idx]
+        t, u, v, hit = intersect_triangle(
+            o, d, tri_v1[pid], tri_e1[pid], tri_e2[pid])
+        closer = is_leaf & hit & (t >= 0.0) & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        best_leaf = jnp.where(closer, sorted_idx, best_leaf)
+        found_any = closer & any_hit_mode
+
+        # ---- internal: test both children (intersect.inl:64-101)
+        lc = left[jnp.minimum(node, leaf_base - 1)]
+        rc = right[jnp.minimum(node, leaf_base - 1)]
+        tn1, tf1, h1 = intersect_aabb(o, inv_d, node_lo[lc], node_hi[lc])
+        tn2, tf2, h2 = intersect_aabb(o, inv_d, node_lo[rc], node_hi[rc])
+        # is_closer for aabb (update_if.h:62-66): hit && tnear < best_t && tfar >= 0
+        b1 = (~is_leaf) & h1 & (tn1 < best_t) & (tf1 >= 0.0)
+        b2 = (~is_leaf) & h2 & (tn2 < best_t) & (tf2 >= 0.0)
+
+        both = b1 & b2
+        near_is_l = tn1 < tn2
+        near = jnp.where(near_is_l, lc, rc)
+        far = jnp.where(near_is_l, rc, lc)
+
+        # push far child when both hit
+        stack = jax.lax.cond(
+            both, lambda st: st.at[jnp.minimum(sp, STACK_DEPTH - 1)].set(far),
+            lambda st: st, stack)
+        sp_after_push = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+
+        next_node = jnp.where(
+            both, near, jnp.where(b1, lc, jnp.where(b2, rc, -1)))
+
+        # pop when: leaf processed, or no child hit
+        need_pop = is_leaf | (next_node < 0)
+        can_pop = sp_after_push > 0
+        popped = stack[jnp.maximum(sp_after_push - 1, 0)]
+        new_node = jnp.where(need_pop, jnp.where(can_pop, popped, 0),
+                             next_node)
+        new_sp = jnp.where(need_pop & can_pop, sp_after_push - 1,
+                           sp_after_push)
+        new_done = done | (need_pop & ~can_pop) | found_any
+        return (new_node, new_sp, stack, best_t, best_leaf, new_done)
+
+    _, _, _, best_t, best_leaf, _ = jax.lax.while_loop(cond, body, state)
+    return best_t, best_leaf, best_leaf >= 0
+
+
+def _traverse_batch(ray: Ray, bvh, mesh, max_t, any_hit_mode: bool):
+    v1, e1, e2 = mesh.corners()
+    if bvh.num_prims == 1:
+        # degenerate tree: intersect the single primitive directly
+        t, u, v, hit = intersect_triangle(ray.ori, ray.dir, v1[0], e1[0], e2[0])
+        valid = hit & (t >= 0.0) & (t < max_t)
+        return (jnp.where(valid, t, FLT_MAX),
+                jnp.where(valid, 0, -1).astype(jnp.int32), valid)
+    f = partial(_traverse_one,
+                node_lo=bvh.node_lo, node_hi=bvh.node_hi,
+                left=bvh.left, right=bvh.right,
+                tri_v1=v1, tri_e1=e1, tri_e2=e2, prim_ids=bvh.prim_ids,
+                any_hit_mode=any_hit_mode)
+    o = ray.ori.reshape(-1, 3)
+    d = ray.dir.reshape(-1, 3)
+    mt = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32),
+                          o.shape[:1]).reshape(-1)
+    best_t, best_leaf, hit = jax.vmap(lambda oo, dd, m: f(oo, dd, max_t=m))(
+        o, d, mt)
+    bs = ray.batch_shape
+    return best_t.reshape(bs), best_leaf.reshape(bs), hit.reshape(bs)
+
+
+def bvh_closest_hit(ray: Ray, bvh, mesh, max_t=FLT_MAX) -> HitRecord:
+    """Closest hit through the BVH, differentiable by recompute.
+
+    Phase 1 (stop_gradient): stack traversal finds the winning primitive.
+    Phase 2 (differentiable): re-evaluate Moeller-Trumbore at that primitive
+    so t/u/v carry gradients w.r.t. mesh.vertices and the ray.
+    """
+    sg = jax.lax.stop_gradient
+    _, best_leaf, hit = _traverse_batch(
+        Ray(sg(ray.ori), sg(ray.dir)),
+        jax.tree_util.tree_map(sg, bvh),
+        jax.tree_util.tree_map(sg, mesh), max_t, any_hit_mode=False)
+
+    pid = jnp.take(bvh.prim_ids, jnp.maximum(best_leaf, 0))
+    v1, e1, e2 = mesh.corners()
+    t, u, v, _ = intersect_triangle(
+        ray.ori, ray.dir,
+        jnp.take(v1, pid, axis=0), jnp.take(e1, pid, axis=0),
+        jnp.take(e2, pid, axis=0))
+    return HitRecord(
+        hit=hit,
+        t=jnp.where(hit, t, FLT_MAX),
+        prim_id=jnp.where(hit, pid, 0).astype(jnp.int32),
+        geom_id=jnp.take(mesh.geom_ids, jnp.where(hit, pid, 0)),
+        u=jnp.where(hit, u, 0.0),
+        v=jnp.where(hit, v, 0.0),
+    )
+
+
+def bvh_any_hit(ray: Ray, bvh, mesh, max_t) -> HitRecord:
+    """Occlusion query with early exit (exit_traversal.h:47-56 analogue)."""
+    sg = jax.lax.stop_gradient
+    best_t, best_leaf, hit = _traverse_batch(
+        Ray(sg(ray.ori), sg(ray.dir)),
+        jax.tree_util.tree_map(sg, bvh),
+        jax.tree_util.tree_map(sg, mesh), max_t, any_hit_mode=True)
+    pid = jnp.take(bvh.prim_ids, jnp.maximum(best_leaf, 0))
+    return HitRecord(
+        hit=hit,
+        t=jnp.where(hit, best_t, FLT_MAX),
+        prim_id=jnp.where(hit, pid, 0).astype(jnp.int32),
+        geom_id=jnp.take(mesh.geom_ids, jnp.where(hit, pid, 0)),
+        u=jnp.zeros_like(best_t), v=jnp.zeros_like(best_t),
+    )

@@ -1,0 +1,20 @@
+"""Procedurally generated built-in scenes for tests, examples and benchmarks.
+
+The reference ships no scene assets (the viewer loads user OBJ files); the
+BASELINE.json config ladder names triangle+sphere+plane, the Utah teapot,
+the Cornell box, and Sponza-class geometry.  With no network egress, teapot
+geometry is generated from the canonical 32-patch Bezier control points and
+Sponza is substituted by a deterministic "sponza-like" architectural scene
+with a comparable triangle count.
+"""
+
+from visionaray_tpu.scenes.basic import (
+    tri_sphere_plane, cornell_box, random_triangles,
+)
+from visionaray_tpu.scenes.teapot import teapot_scene, teapot_mesh
+from visionaray_tpu.scenes.sponza_like import sponza_like_scene
+
+__all__ = [
+    "tri_sphere_plane", "cornell_box", "random_triangles",
+    "teapot_scene", "teapot_mesh", "sponza_like_scene",
+]
