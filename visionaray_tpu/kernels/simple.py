@@ -16,6 +16,7 @@ from visionaray_tpu.core.types import Ray, ResultRecord
 from visionaray_tpu.core.vecmath import faceforward, normalize
 from visionaray_tpu.kernels.params import KernelParams
 from visionaray_tpu.ops.trace import closest_hit
+from visionaray_tpu.shading.lights import light_groups
 from visionaray_tpu.shading.surface import get_surface
 
 
@@ -33,12 +34,12 @@ def simple_kernel(params: KernelParams, ray: Ray, sampler=None) -> ResultRecord:
     view_dir = -ray.dir
     n = faceforward(surf.shading_normal, view_dir, surf.geometric_normal)
 
-    lights = scene.lights
-    for li in range(lights.num_lights):
-        light_dir = normalize(lights.position[li] - isect_pos)
-        intensity = lights.intensity(li, isect_pos)
-        clr = surf.materials.shade(n, view_dir, light_dir, intensity)
-        shaded = shaded + jnp.where(hit_rec.hit[..., None], clr, 0.0)
+    for lights in light_groups(scene.lights):
+        for li in range(lights.num_lights):
+            light_dir = normalize(lights.position[li] - isect_pos)
+            intensity = lights.intensity(li, isect_pos)
+            clr = surf.materials.shade(n, view_dir, light_dir, intensity)
+            shaded = shaded + jnp.where(hit_rec.hit[..., None], clr, 0.0)
 
     rgba = jnp.concatenate([shaded, jnp.ones_like(shaded[..., :1])], axis=-1)
     color = jnp.where(hit_rec.hit[..., None], rgba, params.bg_color)

@@ -21,6 +21,7 @@ from visionaray_tpu.core.types import Ray, ResultRecord
 from visionaray_tpu.core.vecmath import faceforward, length, normalize
 from visionaray_tpu.kernels.params import KernelParams
 from visionaray_tpu.ops.trace import any_hit, closest_hit
+from visionaray_tpu.shading.lights import light_groups
 from visionaray_tpu.shading.surface import get_surface
 
 
@@ -46,16 +47,18 @@ def whitted_kernel(params: KernelParams, ray: Ray, sampler=None) -> ResultRecord
         shaded = jnp.where(hit_rec.hit[..., None], ambient,
                            jnp.broadcast_to(bg3, ambient.shape))
 
-        lights = scene.lights
-        for li in range(lights.num_lights):
-            to_light = lights.position[li] - isect_pos
-            light_dir = normalize(to_light)
-            shadow_ray = Ray(ori=isect_pos + light_dir * eps, dir=light_dir)
-            shadow_rec = any_hit(shadow_ray, scene, max_t=length(to_light))
-            lit = hit_rec.hit & ~shadow_rec.hit
-            intensity = lights.intensity(li, isect_pos)
-            clr = surf.materials.shade(n, view_dir, light_dir, intensity)
-            shaded = shaded + jnp.where(lit[..., None], clr, 0.0)
+        for lights in light_groups(scene.lights):
+            for li in range(lights.num_lights):
+                to_light = lights.position[li] - isect_pos
+                light_dir = normalize(to_light)
+                shadow_ray = Ray(ori=isect_pos + light_dir * eps,
+                                 dir=light_dir)
+                shadow_rec = any_hit(shadow_ray, scene,
+                                     max_t=length(to_light))
+                lit = hit_rec.hit & ~shadow_rec.hit
+                intensity = lights.intensity(li, isect_pos)
+                clr = surf.materials.shade(n, view_dir, light_dir, intensity)
+                shaded = shaded + jnp.where(lit[..., None], clr, 0.0)
 
         no_hit_color = no_hit_scale[..., None] * bg3
         seg = jnp.where(hit_rec.hit[..., None], shaded, no_hit_color)

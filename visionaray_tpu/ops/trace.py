@@ -37,6 +37,18 @@ PRIM_PLANE = 2
 _CHUNK = 512  # brute-force primitive chunk (keeps the N x F matrix bounded)
 
 
+def _is_cluster_bvh(bvh) -> bool:
+    from visionaray_tpu.ops.pallas.cluster_bvh import ClusterBVH
+    return isinstance(bvh, ClusterBVH)
+
+
+def _interpret_default() -> bool:
+    """Pallas kernels compile natively on TPU (incl. the axon plugin);
+    interpret on CPU (tests)."""
+    import jax
+    return jax.default_backend() == "cpu"
+
+
 def _best_of(t, hit, max_t=None):
     """Select index of the closest valid hit along the last (primitive) axis.
 
@@ -57,8 +69,16 @@ def _merge(dst: HitRecord, src: HitRecord, max_t=None) -> HitRecord:
 
 
 def intersect_triangles_brute(ray: Ray, v1, e1, e2, geom_ids,
-                              prim_offset: int = 0) -> HitRecord:
-    """Chunked brute-force sweep over a triangle soup. Batched over rays."""
+                              prim_offset: int = 0,
+                              hit_filter=None) -> HitRecord:
+    """Chunked brute-force sweep over a triangle soup. Batched over rays.
+
+    ``hit_filter``: optional custom-intersector hook (the TPU analogue of
+    basic_intersector's per-primitive override, reference intersector.h:24):
+    ``fn(prim_id, t, u, v, hit) -> hit`` applied to every candidate hit
+    before the closest-merge — e.g. alpha-mask transparency
+    (examples/intersector/main.cpp:256).
+    """
     F = v1.shape[0]
     batch = ray.batch_shape
     o = ray.ori[..., None, :]
@@ -66,6 +86,10 @@ def intersect_triangles_brute(ray: Ray, v1, e1, e2, geom_ids,
 
     if F <= _CHUNK:
         t, u, v, hit = intersect_triangle(o, d, v1, e1, e2)
+        if hit_filter is not None:
+            pid_arr = jnp.broadcast_to(
+                jnp.arange(F, dtype=jnp.int32) + prim_offset, t.shape)
+            hit = hit_filter(pid_arr, t, u, v, hit)
         idx, best_t, best_hit = _best_of(t, hit)
         take = lambda a: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
         return HitRecord(
@@ -95,6 +119,10 @@ def intersect_triangles_brute(ray: Ray, v1, e1, e2, geom_ids,
         t, u, v, hit = intersect_triangle(o, d, cv1, ce1, ce2)
         local_pid = ci * _CHUNK + jnp.arange(_CHUNK)
         hit = hit & (local_pid < F)
+        if hit_filter is not None:
+            pid_arr = jnp.broadcast_to(
+                (local_pid + prim_offset).astype(jnp.int32), t.shape)
+            hit = hit_filter(pid_arr, t, u, v, hit)
         idx, best_t, best_hit = _best_of(t, hit)
         take = lambda a: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
         src = HitRecord(
@@ -143,20 +171,37 @@ def intersect_planes_brute(ray: Ray, normal, offset, geom_ids,
     )
 
 
-def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None) -> HitRecord:
-    """Closest-hit query over the whole scene (traverse_linear.inl:286-318)."""
+def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None,
+                hit_filter=None) -> HitRecord:
+    """Closest-hit query over the whole scene (traverse_linear.inl:286-318).
+
+    ``hit_filter``: custom-intersector hook, see intersect_triangles_brute.
+    """
     best = HitRecord.none(ray.batch_shape)
     offset = 0
     if scene.mesh is not None:
         if use_bvh is None:
             use_bvh = scene.bvh is not None
-        if use_bvh:
+        if use_bvh and _is_cluster_bvh(scene.bvh):
+            # Pallas fast path (hit_filter applies post-hoc to the winner
+            # only; full in-traversal filtering stays on the jnp tier)
+            from visionaray_tpu.ops.pallas.traverse import cluster_closest_hit
+            hr = cluster_closest_hit(ray, scene.bvh, scene.mesh,
+                                     interpret=_interpret_default())
+            if hit_filter is not None:
+                keep = hit_filter(hr.prim_id, hr.t, hr.u, hr.v, hr.hit)
+                hr = HitRecord(hit=keep, t=jnp.where(keep, hr.t, FLT_MAX),
+                               prim_id=hr.prim_id, geom_id=hr.geom_id,
+                               u=hr.u, v=hr.v)
+        elif use_bvh:
             from visionaray_tpu.ops.traversal import bvh_closest_hit
-            hr = bvh_closest_hit(ray, scene.bvh, scene.mesh)
+            hr = bvh_closest_hit(ray, scene.bvh, scene.mesh,
+                                 hit_filter=hit_filter)
         else:
             v1, e1, e2 = scene.mesh.corners()
             hr = intersect_triangles_brute(
-                ray, v1, e1, e2, scene.mesh.geom_ids, offset)
+                ray, v1, e1, e2, scene.mesh.geom_ids, offset,
+                hit_filter=hit_filter)
         best = _merge(best, hr)
         offset += scene.num_triangles
     if scene.spheres is not None:
@@ -173,7 +218,8 @@ def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None) -> HitRecord:
     return best
 
 
-def any_hit(ray: Ray, scene, max_t, use_bvh: Optional[bool] = None) -> HitRecord:
+def any_hit(ray: Ray, scene, max_t, use_bvh: Optional[bool] = None,
+            hit_filter=None) -> HitRecord:
     """Any-hit (occlusion) query with max_t (traverse_linear.inl:186-272).
 
     Semantics: a hit counts iff hit && 0 <= t < max_t.  The jnp tier computes
@@ -186,13 +232,19 @@ def any_hit(ray: Ray, scene, max_t, use_bvh: Optional[bool] = None) -> HitRecord
     if scene.mesh is not None:
         if use_bvh is None:
             use_bvh = scene.bvh is not None
-        if use_bvh:
+        if use_bvh and _is_cluster_bvh(scene.bvh):
+            from visionaray_tpu.ops.pallas.traverse import cluster_any_hit
+            hr = cluster_any_hit(ray, scene.bvh, scene.mesh, max_t,
+                                 interpret=_interpret_default())
+        elif use_bvh:
             from visionaray_tpu.ops.traversal import bvh_any_hit
-            hr = bvh_any_hit(ray, scene.bvh, scene.mesh, max_t)
+            hr = bvh_any_hit(ray, scene.bvh, scene.mesh, max_t,
+                             hit_filter=hit_filter)
         else:
             v1, e1, e2 = scene.mesh.corners()
             hr = intersect_triangles_brute(
-                ray, v1, e1, e2, scene.mesh.geom_ids, offset)
+                ray, v1, e1, e2, scene.mesh.geom_ids, offset,
+                hit_filter=hit_filter)
         best = update_if(best, hr, is_closer(hr, best.t, max_t))
         offset += scene.num_triangles
     if scene.spheres is not None:

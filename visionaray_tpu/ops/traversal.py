@@ -27,7 +27,8 @@ STACK_DEPTH = 64
 
 
 def _traverse_one(o, d, node_lo, node_hi, left, right, tri_v1, tri_e1,
-                  tri_e2, prim_ids, max_t, any_hit_mode: bool):
+                  tri_e2, prim_ids, max_t, any_hit_mode: bool,
+                  hit_filter=None):
     """Single-ray stack traversal; vmapped over the ray batch.
 
     Returns (best_t, best_sorted_leaf, hit) where best_sorted_leaf is the
@@ -55,6 +56,8 @@ def _traverse_one(o, d, node_lo, node_hi, left, right, tri_v1, tri_e1,
         pid = prim_ids[sorted_idx]
         t, u, v, hit = intersect_triangle(
             o, d, tri_v1[pid], tri_e1[pid], tri_e2[pid])
+        if hit_filter is not None:
+            hit = hit_filter(pid, t, u, v, hit)
         closer = is_leaf & hit & (t >= 0.0) & (t < best_t)
         best_t = jnp.where(closer, t, best_t)
         best_leaf = jnp.where(closer, sorted_idx, best_leaf)
@@ -98,11 +101,14 @@ def _traverse_one(o, d, node_lo, node_hi, left, right, tri_v1, tri_e1,
     return best_t, best_leaf, best_leaf >= 0
 
 
-def _traverse_batch(ray: Ray, bvh, mesh, max_t, any_hit_mode: bool):
+def _traverse_batch(ray: Ray, bvh, mesh, max_t, any_hit_mode: bool,
+                    hit_filter=None):
     v1, e1, e2 = mesh.corners()
     if bvh.num_prims == 1:
         # degenerate tree: intersect the single primitive directly
         t, u, v, hit = intersect_triangle(ray.ori, ray.dir, v1[0], e1[0], e2[0])
+        if hit_filter is not None:
+            hit = hit_filter(jnp.zeros(t.shape, jnp.int32), t, u, v, hit)
         valid = hit & (t >= 0.0) & (t < max_t)
         return (jnp.where(valid, t, FLT_MAX),
                 jnp.where(valid, 0, -1).astype(jnp.int32), valid)
@@ -110,7 +116,7 @@ def _traverse_batch(ray: Ray, bvh, mesh, max_t, any_hit_mode: bool):
                 node_lo=bvh.node_lo, node_hi=bvh.node_hi,
                 left=bvh.left, right=bvh.right,
                 tri_v1=v1, tri_e1=e1, tri_e2=e2, prim_ids=bvh.prim_ids,
-                any_hit_mode=any_hit_mode)
+                any_hit_mode=any_hit_mode, hit_filter=hit_filter)
     o = ray.ori.reshape(-1, 3)
     d = ray.dir.reshape(-1, 3)
     mt = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32),
@@ -121,7 +127,8 @@ def _traverse_batch(ray: Ray, bvh, mesh, max_t, any_hit_mode: bool):
     return best_t.reshape(bs), best_leaf.reshape(bs), hit.reshape(bs)
 
 
-def bvh_closest_hit(ray: Ray, bvh, mesh, max_t=FLT_MAX) -> HitRecord:
+def bvh_closest_hit(ray: Ray, bvh, mesh, max_t=FLT_MAX,
+                    hit_filter=None) -> HitRecord:
     """Closest hit through the BVH, differentiable by recompute.
 
     Phase 1 (stop_gradient): stack traversal finds the winning primitive.
@@ -132,7 +139,8 @@ def bvh_closest_hit(ray: Ray, bvh, mesh, max_t=FLT_MAX) -> HitRecord:
     _, best_leaf, hit = _traverse_batch(
         Ray(sg(ray.ori), sg(ray.dir)),
         jax.tree_util.tree_map(sg, bvh),
-        jax.tree_util.tree_map(sg, mesh), max_t, any_hit_mode=False)
+        jax.tree_util.tree_map(sg, mesh), max_t, any_hit_mode=False,
+        hit_filter=hit_filter)
 
     pid = jnp.take(bvh.prim_ids, jnp.maximum(best_leaf, 0))
     v1, e1, e2 = mesh.corners()
@@ -150,13 +158,14 @@ def bvh_closest_hit(ray: Ray, bvh, mesh, max_t=FLT_MAX) -> HitRecord:
     )
 
 
-def bvh_any_hit(ray: Ray, bvh, mesh, max_t) -> HitRecord:
+def bvh_any_hit(ray: Ray, bvh, mesh, max_t, hit_filter=None) -> HitRecord:
     """Occlusion query with early exit (exit_traversal.h:47-56 analogue)."""
     sg = jax.lax.stop_gradient
     best_t, best_leaf, hit = _traverse_batch(
         Ray(sg(ray.ori), sg(ray.dir)),
         jax.tree_util.tree_map(sg, bvh),
-        jax.tree_util.tree_map(sg, mesh), max_t, any_hit_mode=True)
+        jax.tree_util.tree_map(sg, mesh), max_t, any_hit_mode=True,
+        hit_filter=hit_filter)
     pid = jnp.take(bvh.prim_ids, jnp.maximum(best_leaf, 0))
     return HitRecord(
         hit=hit,

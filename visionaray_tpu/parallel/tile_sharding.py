@@ -74,6 +74,11 @@ def render_image_sharded(params: KernelParams, cam, width: int, height: int,
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P()),
         out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
+        # loop carries legitimately go replicated->varying (e.g. the shared
+        # camera origin becomes a per-shard bounce origin); disable the VMA
+        # type check — numerical equality with the single-device render is
+        # asserted in tests/test_sharding.py instead
+        check_vma=False,
     )
     color, depth = sharded(params, cam, xf, yf,
                            jnp.asarray(frame_num, jnp.uint32))
