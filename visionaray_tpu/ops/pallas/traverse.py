@@ -1,24 +1,38 @@
 """Pallas TPU traversal kernel over the ClusterBVH.
 
 The fast-path analogue of the reference's CUDA megakernel
-(detail/cuda_sched.inl:60-99): grid = ray tiles, one kernel instance owns a
-(8, 128) = 1024-ray tile resident in vector registers.
+(detail/cuda_sched.inl:60-99), restructured for a machine with one scalar
+unit driving (8,128)-lane vector units.
 
-Per tile:
-- consensus traversal of the VMEM-resident top tree with one shared stack
-  (SMEM): descend a child if ANY lane's slab test passes with
-  tnear < that lane's current best t (the packet idiom of the reference's
-  bvh/intersect.inl:84-101, widened from 4-16 SIMD lanes to 1024);
-- near-child-first ordering by the masked minimum of lane tnear values;
-- at a leaf: DMA the cluster's K triangles (one contiguous HBM block,
-  thanks to the morton sort) into VMEM scratch and brute-force
-  Moeller-Trumbore all 1024 lanes against each of the K triangles —
-  dense VPU work instead of divergent per-lane pointer chasing.
+The packet idiom of the reference's SIMD traversal (bvh/intersect.inl:
+84-101) descends a node if ANY lane's slab test passes — which on TPU
+costs a cross-lane reduction (a vector->scalar sync) at EVERY node, and
+every node fetch is a dynamic VMEM slice followed by vector->scalar
+extracts.  Measurement shows those scalar<->vector round trips dominate.
+The design here keeps the ENTIRE descend decision on the scalar unit:
 
-Node fetch: one node per sublane row (cluster_bvh.py); a dynamic
-sublane-dim slice `nodes_ref[ds(n, 1), :]` yields the node's 8 floats,
-followed by static-index extracts (Mosaic requires lane-dim offsets to be
-static/128-aligned).
+- the packed node table lives in SMEM (scalar memory): node fetches are
+  plain dynamic scalar loads, no vector unit involvement at all;
+- per tile, the ray set is reduced ONCE to an interval hull (origin lo/hi,
+  1/direction lo/hi) and internal nodes are tested with conservative
+  scalar interval arithmetic — a superset of "any lane's slab test
+  passes" (update_if.h:62-66), looser only when rays are incoherent;
+- at a leaf, the cluster's K triangles are DMA'd (one contiguous HBM
+  block, thanks to the morton sort) into SMEM, and Moeller-Trumbore runs
+  as scalar-broadcast vector ops over all rows*128 lanes — the only
+  vector work in the loop — followed by ONE cross-lane max(best_t)
+  reduction to refresh the tile's scalar occlusion bound.  Syncs scale
+  with leaves visited, not nodes visited.
+
+This is frustum-packet traversal re-derived for TPU: the frustum is an
+interval hull (valid for ANY ray set), descent order is near-first by the
+frustum's conservative tnear, and occlusion culling uses tile-max best_t.
+
+INTERLEAVE > 1 processes several independent tiles per kernel instance so
+one tile's leaf DMA + vector work overlaps another's scalar traversal.
+
+SMEM budget (1 MiB/core): node table 64*C bytes (C clusters) + G triangle
+slots of 64*K bytes; cluster_bvh.pick_cluster_size keeps C <= ~12k.
 
 Backward: not needed here — the jnp wrapper (`cluster_closest_hit`)
 follows the recompute pattern (ops/traversal.py): the kernel runs under
@@ -40,182 +54,274 @@ from visionaray_tpu.core.types import FLT_MAX, HitRecord, Ray
 from visionaray_tpu.ops.intersect import intersect_triangle
 from visionaray_tpu.ops.pallas.cluster_bvh import ClusterBVH
 
-TILE = 1024          # rays per kernel instance: one (8, 128) vreg set
-STACK_DEPTH = 48     # top-tree depth bound (tree over <= ~1M clusters)
+TILE_ROWS = 32       # sublane rows per ray tile; tile = TILE_ROWS*128 rays
+INTERLEAVE = 2       # independent tiles per kernel instance
+STACK_DEPTH = 64     # top-tree depth bound
+_INV_CLAMP = 1e18    # keeps interval products finite (no inf*0 NaNs)
 
 
 def _traverse_kernel(rays_ref, nodes_ref, tris_hbm, out_t_ref, out_prim_ref,
-                     tri_scratch, stack_ref, dma_sem, *, num_clusters: int,
-                     cluster_size: int, any_hit: bool):
+                     out_u_ref, out_v_ref, tri_smem, stack_ref, dma_sem, *,
+                     num_clusters: int, cluster_size: int, any_hit: bool,
+                     rows: int, group: int):
     C = num_clusters
     K = cluster_size
+    G = group
     leaf_base = C - 1
+    lanes = (rows, 128)
 
-    ox = rays_ref[0, 0]
-    oy = rays_ref[1, 0]
-    oz = rays_ref[2, 0]
-    dx = rays_ref[3, 0]
-    dy = rays_ref[4, 0]
-    dz = rays_ref[5, 0]
-    max_t = rays_ref[6, 0]
+    def ray_comp(c, g):
+        return rays_ref[c, 0, g]
 
-    inv_dx = 1.0 / dx
-    inv_dy = 1.0 / dy
-    inv_dz = 1.0 / dz
+    def clamp_inv(d):
+        return jnp.clip(1.0 / d, -_INV_CLAMP, _INV_CLAMP)
 
-    def fetch_node(n):
-        """Return node n's 8 floats as a (1, 8) block (static lane start)."""
-        return nodes_ref[pl.ds(n, 1), :]
+    # --- per-tile interval hull (one-time reductions; scalars thereafter)
+    o_iv = []
+    i_iv = []
+    maxt0 = []
+    for g in range(G):
+        o_iv.append([(jnp.min(ray_comp(c, g)), jnp.max(ray_comp(c, g)))
+                     for c in range(3)])
+        i_iv.append([(jnp.min(clamp_inv(ray_comp(3 + c, g))),
+                      jnp.max(clamp_inv(ray_comp(3 + c, g))))
+                     for c in range(3)])
+        maxt0.append(jnp.max(ray_comp(6, g)))
 
-    def slab(vals, best_t):
-        """Vector slab test of all lanes vs one node box (scalar broadcast).
+    def node_f(n, c):
+        """Scalar load of component c of node n (SMEM, fully dynamic)."""
+        return nodes_ref[0, n * 8 + c]
 
-        want = hit && tfar >= 0 && tnear < best_t  (update_if.h:62-66).
+    def frustum_test(g, n, maxt):
+        """Scalar conservative slab test of tile g's hull vs node n's box.
+
+        Returns (descend?, conservative tnear): a superset of "any lane's
+        slab test passes with tnear < its best t".
         """
-        t1x = (vals[0, 0] - ox) * inv_dx
-        t2x = (vals[0, 3] - ox) * inv_dx
-        t1y = (vals[0, 1] - oy) * inv_dy
-        t2y = (vals[0, 4] - oy) * inv_dy
-        t1z = (vals[0, 2] - oz) * inv_dz
-        t2z = (vals[0, 5] - oz) * inv_dz
-        tn = jnp.maximum(jnp.minimum(t1x, t2x),
-                         jnp.maximum(jnp.minimum(t1y, t2y),
-                                     jnp.minimum(t1z, t2z)))
-        tf = jnp.minimum(jnp.maximum(t1x, t2x),
-                         jnp.minimum(jnp.maximum(t1y, t2y),
-                                     jnp.maximum(t1z, t2z)))
-        want = (tf >= tn) & (tf >= 0.0) & (tn < best_t)
+        tn = jnp.float32(-3e38)
+        tf = jnp.float32(3e38)
+        for a in range(3):
+            blo = node_f(n, a)
+            bhi = node_f(n, 3 + a)
+            (olo, ohi) = o_iv[g][a]
+            (ilo, ihi) = i_iv[g][a]
+            axis_lo = jnp.float32(3e38)
+            axis_hi = jnp.float32(-3e38)
+            for b in (blo, bhi):
+                u1 = b - ohi
+                u2 = b - olo
+                p1 = u1 * ilo
+                p2 = u1 * ihi
+                p3 = u2 * ilo
+                p4 = u2 * ihi
+                axis_lo = jnp.minimum(
+                    axis_lo, jnp.minimum(jnp.minimum(p1, p2),
+                                         jnp.minimum(p3, p4)))
+                axis_hi = jnp.maximum(
+                    axis_hi, jnp.maximum(jnp.maximum(p1, p2),
+                                         jnp.maximum(p3, p4)))
+            tn = jnp.maximum(tn, axis_lo)
+            tf = jnp.minimum(tf, axis_hi)
+        want = (tf >= tn) & (tf >= 0.0) & (tn < maxt)
         return want, tn
 
-    def intersect_cluster(c, best_t, best_prim, done_mask):
-        """DMA cluster c and intersect its K triangles against all lanes.
+    def dma_for(g, c):
+        return pltpu.make_async_copy(
+            tris_hbm.at[c], tri_smem.at[g], dma_sem.at[g])
 
-        The cluster block is (K//8, 128): 8 x 16-float tri records per row.
-        Outer fori over rows (dynamic sublane slice — allowed); inner
-        python loop over the 8 records with STATIC lane offsets (Mosaic
-        requires static lane indexing).
+    def intersect_cluster(g, best_t, best_prim, best_u, best_v, done_mask):
+        """Tile g (vector lanes) vs the K triangles in its SMEM slot.
+
+        Triangle components are scalar SMEM loads broadcast into vector
+        Moeller-Trumbore over all rows*128 lanes — no vector->scalar
+        extracts anywhere.
         """
-        dma = pltpu.make_async_copy(tris_hbm.at[c], tri_scratch, dma_sem)
-        dma.start()
-        dma.wait()
+        oxg = ray_comp(0, g)
+        oyg = ray_comp(1, g)
+        ozg = ray_comp(2, g)
+        dxg = ray_comp(3, g)
+        dyg = ray_comp(4, g)
+        dzg = ray_comp(5, g)
 
-        def row_body(r, carry):
-            bt, bp = carry
-            row = tri_scratch[pl.ds(r, 1), :]   # (1, 128)
-            for j in range(8):                   # static lane offsets
-                o8 = j * 16
-                v1x = row[0, o8 + 0]
-                v1y = row[0, o8 + 1]
-                v1z = row[0, o8 + 2]
-                e1x = row[0, o8 + 3]
-                e1y = row[0, o8 + 4]
-                e1z = row[0, o8 + 5]
-                e2x = row[0, o8 + 6]
-                e2y = row[0, o8 + 7]
-                e2z = row[0, o8 + 8]
-                pid = row[0, o8 + 9]
+        def tri_body(k, carry):
+            bt, bp, bu, bv = carry
+            r = k >> 3
+            o16 = (k & 7) * 16
 
-                # Moller-Trumbore, scalar triangle broadcast over lanes
-                s1x = dy * e2z - dz * e2y
-                s1y = dz * e2x - dx * e2z
-                s1z = dx * e2y - dy * e2x
-                div = s1x * e1x + s1y * e1y + s1z * e1z
-                ok = div != 0.0
-                inv_div = 1.0 / jnp.where(ok, div, 1.0)
-                ddx = ox - v1x
-                ddy = oy - v1y
-                ddz = oz - v1z
-                b1 = (ddx * s1x + ddy * s1y + ddz * s1z) * inv_div
-                ok = ok & (b1 >= 0.0) & (b1 <= 1.0)
-                s2x = ddy * e1z - ddz * e1y
-                s2y = ddz * e1x - ddx * e1z
-                s2z = ddx * e1y - ddy * e1x
-                b2 = (dx * s2x + dy * s2y + dz * s2z) * inv_div
-                ok = ok & (b2 >= 0.0) & (b1 + b2 <= 1.0)
-                t = (e2x * s2x + e2y * s2y + e2z * s2z) * inv_div
-                closer = ok & (t >= 0.0) & (t < bt) & (~done_mask)
-                bt = jnp.where(closer, t, bt)
-                bp = jnp.where(closer, pid, bp)
-            return bt, bp
+            def tf(j):
+                return tri_smem[g, r, o16 + j]
 
-        return jax.lax.fori_loop(0, K // 8, row_body, (best_t, best_prim))
+            v1x, v1y, v1z = tf(0), tf(1), tf(2)
+            e1x, e1y, e1z = tf(3), tf(4), tf(5)
+            e2x, e2y, e2z = tf(6), tf(7), tf(8)
+            pid = tf(9)
 
-    best_t0 = max_t
-    best_prim0 = jnp.full((8, 128), -1.0, jnp.float32)
+            s1x = dyg * e2z - dzg * e2y
+            s1y = dzg * e2x - dxg * e2z
+            s1z = dxg * e2y - dyg * e2x
+            div = s1x * e1x + s1y * e1y + s1z * e1z
+            ok = div != 0.0
+            inv_div = 1.0 / jnp.where(ok, div, 1.0)
+            ddx = oxg - v1x
+            ddy = oyg - v1y
+            ddz = ozg - v1z
+            b1 = (ddx * s1x + ddy * s1y + ddz * s1z) * inv_div
+            ok = ok & (b1 >= 0.0) & (b1 <= 1.0)
+            s2x = ddy * e1z - ddz * e1y
+            s2y = ddz * e1x - ddx * e1z
+            s2z = ddx * e1y - ddy * e1x
+            b2 = (dxg * s2x + dyg * s2y + dzg * s2z) * inv_div
+            ok = ok & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+            t = (e2x * s2x + e2y * s2y + e2z * s2z) * inv_div
+            closer = ok & (t >= 0.0) & (t < bt) & (~done_mask)
+            bt = jnp.where(closer, t, bt)
+            bp = jnp.where(closer, pid, bp)
+            bu = jnp.where(closer, b1, bu)
+            bv = jnp.where(closer, b2, bv)
+            return bt, bp, bu, bv
+
+        # static unroll: SMEM offsets become compile-time constants and the
+        # per-triangle arithmetic (independent until the final min-fold)
+        # software-pipelines across triangles instead of serializing on a
+        # fori carry
+        carry = (best_t, best_prim, best_u, best_v)
+        for k in range(K):
+            carry = tri_body(k, carry)
+        return carry
+
+    best_t0 = [ray_comp(6, g) for g in range(G)]
+    best_prim0 = [jnp.full(lanes, -1.0, jnp.float32) for _ in range(G)]
+    best_u0 = [jnp.zeros(lanes, jnp.float32) for _ in range(G)]
+    best_v0 = [jnp.zeros(lanes, jnp.float32) for _ in range(G)]
     # prim ids carried as float values (exact < 2^24); -1 = no hit
 
     if C == 1:
-        best_t, best_prim = intersect_cluster(
-            0, best_t0, best_prim0, jnp.zeros((8, 128), jnp.bool_))
+        for g in range(G):
+            dma_for(g, 0).start()
+        best_t = []
+        best_prim = []
+        best_u = []
+        best_v = []
+        for g in range(G):
+            dma_for(g, 0).wait()
+            bt, bp, bu, bv = intersect_cluster(
+                g, best_t0[g], best_prim0[g], best_u0[g], best_v0[g],
+                jnp.zeros(lanes, jnp.bool_))
+            best_t.append(bt)
+            best_prim.append(bp)
+            best_u.append(bu)
+            best_v.append(bv)
     else:
         def cond(state):
-            return ~state[0]
+            done = state[0]
+            alive = ~done[0]
+            for g in range(1, G):
+                alive = alive | (~done[g])
+            return alive
 
         def body(state):
-            done, node, sp, best_t, best_prim = state
-            is_leaf = node >= leaf_base
+            done, node, sp, maxt, best_t, best_prim, best_u, best_v = \
+                [list(x) for x in state]
 
-            # --- leaf path
-            def do_leaf(args):
-                bt, bp = args
-                done_mask = (bt < max_t) if any_hit else \
-                    jnp.zeros((8, 128), jnp.bool_)
-                return intersect_cluster(
-                    jnp.maximum(node - leaf_base, 0), bt, bp, done_mask)
+            # pass A: detect leaves, launch all leaf DMAs up front so they
+            # overlap the scalar traversal below
+            is_leaf = []
+            for g in range(G):
+                il = (~done[g]) & (node[g] >= leaf_base)
+                is_leaf.append(il)
 
-            best_t, best_prim = jax.lax.cond(
-                is_leaf, do_leaf, lambda a: a, (best_t, best_prim))
+                @pl.when(il)
+                def _(g=g):
+                    dma_for(g, jnp.maximum(node[g] - leaf_base, 0)).start()
 
-            # --- internal path
-            safe = jnp.minimum(node, jnp.int32(max(leaf_base - 1, 0)))
-            vals = fetch_node(safe)
-            left = vals[0, 6].astype(jnp.int32)
-            right = vals[0, 7].astype(jnp.int32)
-            w1, tn1 = slab(fetch_node(left), best_t)
-            w2, tn2 = slab(fetch_node(right), best_t)
-            if any_hit:
-                live = best_t >= max_t
-                w1 = w1 & live
-                w2 = w2 & live
-            a1 = jnp.any(w1) & (~is_leaf)
-            a2 = jnp.any(w2) & (~is_leaf)
-            # consensus near-child: min of masked tnear over lanes
-            m1 = jnp.min(jnp.where(w1, tn1, jnp.float32(FLT_MAX)))
-            m2 = jnp.min(jnp.where(w2, tn2, jnp.float32(FLT_MAX)))
-            near_is_l = m1 <= m2
-            near = jnp.where(near_is_l, left, right)
-            far = jnp.where(near_is_l, right, left)
+            # pass B: per-tile step
+            new_state = ([], [], [], [], [], [], [], [])
+            for g in range(G):
+                # --- leaf path: wait DMA, dense vector intersect, refresh
+                # the scalar occlusion bound (the only vector work + the
+                # only vector->scalar sync in the loop)
+                def do_leaf(args, g=g):
+                    bt, bp, bu, bv, mt_ = args
+                    dma_for(g, jnp.maximum(node[g] - leaf_base, 0)).wait()
+                    done_mask = (bt < ray_comp(6, g)) if any_hit else \
+                        jnp.zeros(lanes, jnp.bool_)
+                    bt, bp, bu, bv = intersect_cluster(
+                        g, bt, bp, bu, bv, done_mask)
+                    if any_hit:
+                        # remaining-work bound: max max_t over lanes still
+                        # unoccluded (padding lanes carry max_t < 0)
+                        mt_ = jnp.max(jnp.where(bt < ray_comp(6, g),
+                                                jnp.float32(-1.0),
+                                                ray_comp(6, g)))
+                    else:
+                        mt_ = jnp.max(bt)
+                    return bt, bp, bu, bv, mt_
 
-            both = a1 & a2
+                bt, bp, bu, bv, mt_ = jax.lax.cond(
+                    is_leaf[g], do_leaf, lambda a: a,
+                    (best_t[g], best_prim[g], best_u[g], best_v[g],
+                     maxt[g]))
 
-            @pl.when(both)
-            def _():
-                stack_ref[jnp.minimum(sp, STACK_DEPTH - 1)] = far
+                # --- internal path: pure scalar frustum tests
+                safe = jnp.minimum(node[g],
+                                   jnp.int32(max(leaf_base - 1, 0)))
+                left = node_f(safe, 6).astype(jnp.int32)
+                right = node_f(safe, 7).astype(jnp.int32)
+                w1, tn1 = frustum_test(g, left, mt_)
+                w2, tn2 = frustum_test(g, right, mt_)
+                a1 = w1 & (~is_leaf[g])
+                a2 = w2 & (~is_leaf[g])
+                near_is_l = tn1 <= tn2
+                near = jnp.where(near_is_l, left, right)
+                far = jnp.where(near_is_l, right, left)
 
-            sp2 = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH), sp)
-            next_node = jnp.where(
-                both, near,
-                jnp.where(a1, left, jnp.where(a2, right, -1)))
+                both = a1 & a2
 
-            need_pop = is_leaf | (next_node < 0)
-            early = jnp.bool_(False)
-            if any_hit:
-                # whole-tile early exit: every lane found an occluder
-                early = jnp.all(best_t < max_t)
-            can_pop = sp2 > 0
-            popped = stack_ref[jnp.maximum(sp2 - 1, 0)]
-            new_node = jnp.where(need_pop,
-                                 jnp.where(can_pop, popped, 0), next_node)
-            new_sp = jnp.where(need_pop & can_pop, sp2 - 1, sp2)
-            new_done = (need_pop & (~can_pop)) | early
-            return (new_done, new_node, new_sp, best_t, best_prim)
+                @pl.when(both)
+                def _(g=g, sp_g=sp[g], far=far):
+                    stack_ref[g, jnp.minimum(sp_g, STACK_DEPTH - 1)] = far
 
-        init = (jnp.bool_(False), jnp.int32(0), jnp.int32(0),
-                best_t0, best_prim0)
-        _, _, _, best_t, best_prim = jax.lax.while_loop(cond, body, init)
+                sp2 = jnp.where(both, jnp.minimum(sp[g] + 1, STACK_DEPTH),
+                                sp[g])
+                next_node = jnp.where(
+                    both, near,
+                    jnp.where(a1, left, jnp.where(a2, right, -1)))
 
-    out_t_ref[0] = best_t
-    out_prim_ref[0] = best_prim
+                need_pop = is_leaf[g] | (next_node < 0)
+                early = jnp.bool_(False)
+                if any_hit:
+                    # whole-tile early exit: every live lane occluded
+                    early = mt_ < 0.0
+                can_pop = sp2 > 0
+                popped = stack_ref[g, jnp.maximum(sp2 - 1, 0)]
+                nn = jnp.where(need_pop,
+                               jnp.where(can_pop, popped, 0), next_node)
+                nsp = jnp.where(need_pop & can_pop, sp2 - 1, sp2)
+                nd = (need_pop & (~can_pop)) | early
+
+                new_state[0].append(done[g] | nd)
+                new_state[1].append(jnp.where(done[g], node[g], nn))
+                new_state[2].append(jnp.where(done[g], sp[g], nsp))
+                new_state[3].append(mt_)
+                new_state[4].append(bt)
+                new_state[5].append(bp)
+                new_state[6].append(bu)
+                new_state[7].append(bv)
+            return tuple(tuple(x) for x in new_state)
+
+        init = (tuple(jnp.bool_(False) for _ in range(G)),
+                tuple(jnp.int32(0) for _ in range(G)),
+                tuple(jnp.int32(0) for _ in range(G)),
+                tuple(maxt0), tuple(best_t0), tuple(best_prim0),
+                tuple(best_u0), tuple(best_v0))
+        _, _, _, _, best_t, best_prim, best_u, best_v = jax.lax.while_loop(
+            cond, body, init)
+
+    for g in range(G):
+        out_t_ref[0, g] = best_t[g]
+        out_prim_ref[0, g] = best_prim[g]
+        out_u_ref[0, g] = best_u[g]
+        out_v_ref[0, g] = best_v[g]
 
 
 def _round_up(x, m):
@@ -227,54 +333,101 @@ def _round_up(x, m):
 def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
                       cluster_size: int, any_hit: bool = False,
                       interpret: bool = False):
-    """rays8: (8, n_tiles, 8, 128) rows [ox oy oz dx dy dz maxt pad].
+    """rays8: (8, n_groups, G, R, 128) rows [ox oy oz dx dy dz maxt pad].
 
-    Returns (t, prim_f) each (n_tiles, 8, 128); prim_f = -1 where no hit.
+    Returns (t, prim_f, u, v) each (n_groups, G, R, 128); prim_f = -1 if
+    no hit.
     """
-    n_tiles = rays8.shape[1]
+    n_groups = rays8.shape[1]
+    group = rays8.shape[2]
+    rows = rays8.shape[3]
     kernel = functools.partial(
         _traverse_kernel, num_clusters=num_clusters,
-        cluster_size=cluster_size, any_hit=any_hit)
-    out_t, out_prim = pl.pallas_call(
+        cluster_size=cluster_size, any_hit=any_hit, rows=rows, group=group)
+    # node table flattened to one SMEM row (SMEM rows pad to 128 lanes, so
+    # (N, 8) would waste 16x; (1, N*8) is dense)
+    nodes_flat = nodes.reshape(1, -1)
+    out_t, out_prim, out_u, out_v = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((8, 1, 8, 128), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((8, 1, group, rows, 128),
+                         lambda i: (0, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # packed nodes, whole
-            pl.BlockSpec(memory_space=pltpu.ANY),    # tris stay in HBM
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node table (scalars)
+            pl.BlockSpec(memory_space=pl.ANY),       # tris stay in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, rows, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, group, rows, 128), jnp.float32)
+            for _ in range(4)
         ],
         scratch_shapes=[
-            pltpu.VMEM((cluster_size // 8, 128), jnp.float32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((group, cluster_size // 8, 128), jnp.float32),
+            pltpu.SMEM((group, STACK_DEPTH), jnp.int32),
+            pltpu.SemaphoreType.DMA((group,)),
         ],
         interpret=interpret,
-    )(rays8, nodes, tris)
-    return out_t, out_prim
+    )(rays8, nodes_flat, tris)
+    return out_t, out_prim, out_u, out_v
 
 
-def _pack_rays(o, d, mt, n, npad, n_tiles, pad_maxt):
+def _pack_rays(o, d, mt, n, npad, n_groups, group, rows, pad_maxt):
     def comp(a, fill=0.0):
         return jnp.pad(a, (0, npad - n), constant_values=fill
-                       ).reshape(n_tiles, 8, 128)
+                       ).reshape(n_groups, group, rows, 128)
 
     return jnp.stack([
         comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
         comp(d[:, 0], 1.0), comp(d[:, 1], 1.0), comp(d[:, 2], 1.0),
         comp(mt, pad_maxt),
-        jnp.zeros((n_tiles, 8, 128), jnp.float32),
+        jnp.zeros((n_groups, group, rows, 128), jnp.float32),
     ], axis=0)
+
+
+def _recompute_tuv(o, d, tbl, pid):
+    """Differentiable (t, u, v) of the recorded winning primitive.
+
+    One wide-row gather of the fused (F, 9) corner table instead of three
+    narrow ones: gathers are latency-bound per row on TPU (profiled: three
+    separate takes cost more than the traversal kernel itself).
+    """
+    rows_g = jnp.take(tbl, pid, axis=0)                     # (..., 9)
+    t, u, v, _ = intersect_triangle(
+        o, d, rows_g[..., 0:3], rows_g[..., 3:6], rows_g[..., 6:9])
+    return t, u, v
+
+
+@jax.custom_vjp
+def _hit_tuv(o, d, tbl, pid, kt, ku, kv):
+    """(t, u, v) at the winning primitive.
+
+    Primal values come straight from the traversal kernel (kt/ku/kv) — no
+    gather in the forward pass.  The VJP re-derives them differentiably
+    from (ray, corner table, prim id) — the recompute pattern: traversal
+    finds *which* primitive under stop_gradient; analytic intersection
+    gradients are taken at that fixed primitive only (docs/diff.md).
+    """
+    return kt, ku, kv
+
+
+def _hit_tuv_fwd(o, d, tbl, pid, kt, ku, kv):
+    return (kt, ku, kv), (o, d, tbl, pid)
+
+
+def _hit_tuv_bwd(res, cts):
+    o, d, tbl, pid = res
+    _, vjp = jax.vjp(lambda o_, d_, t_: _recompute_tuv(o_, d_, t_, pid),
+                     o, d, tbl)
+    do, dd, dtbl = vjp(cts)
+    return do, dd, dtbl, None, None, None, None
+
+
+_hit_tuv.defvjp(_hit_tuv_fwd, _hit_tuv_bwd)
 
 
 def cluster_closest_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t=FLT_MAX,
@@ -284,28 +437,30 @@ def cluster_closest_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t=FLT_MAX,
     o = sg(ray.ori.reshape(-1, 3))
     d = sg(ray.dir.reshape(-1, 3))
     n = o.shape[0]
-    npad = _round_up(max(n, TILE), TILE)
-    n_tiles = npad // TILE
+    chunk = TILE_ROWS * 128 * INTERLEAVE
+    npad = _round_up(max(n, chunk), chunk)
+    n_groups = npad // chunk
     mt = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (n,))
-    rays8 = _pack_rays(o, d, mt, n, npad, n_tiles, pad_maxt=-1.0)
+    rays8 = _pack_rays(o, d, mt, n, npad, n_groups, INTERLEAVE, TILE_ROWS,
+                       pad_maxt=-1.0)
 
-    t_tiles, prim_f = _cluster_traverse(
+    t_tiles, prim_f, u_tiles, v_tiles = _cluster_traverse(
         rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
         cbvh.cluster_size, any_hit=False, interpret=interpret)
     prim_flat = prim_f.reshape(-1)[:n]
     bs = ray.batch_shape
     hit = (prim_flat >= 0.0).reshape(bs)
     pid = jnp.where(hit, prim_flat.reshape(bs).astype(jnp.int32), 0)
+    kt = t_tiles.reshape(-1)[:n].reshape(bs)
+    ku = u_tiles.reshape(-1)[:n].reshape(bs)
+    kv = v_tiles.reshape(-1)[:n].reshape(bs)
 
-    # differentiable recompute at the winning primitive
     v1, e1, e2 = mesh.corners()
-    t_rec, u, v, _ = intersect_triangle(
-        ray.ori, ray.dir,
-        jnp.take(v1, pid, axis=0), jnp.take(e1, pid, axis=0),
-        jnp.take(e2, pid, axis=0))
+    tbl = jnp.concatenate([v1, e1, e2], axis=-1)            # (F, 9)
+    t, u, v = _hit_tuv(ray.ori, ray.dir, tbl, pid, kt, ku, kv)
     return HitRecord(
         hit=hit,
-        t=jnp.where(hit, t_rec, FLT_MAX),
+        t=jnp.where(hit, t, FLT_MAX),
         prim_id=pid.astype(jnp.int32),
         geom_id=jnp.take(mesh.geom_ids, pid),
         u=jnp.where(hit, u, 0.0),
@@ -320,12 +475,14 @@ def cluster_any_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t,
     o = sg(ray.ori.reshape(-1, 3))
     d = sg(ray.dir.reshape(-1, 3))
     n = o.shape[0]
-    npad = _round_up(max(n, TILE), TILE)
-    n_tiles = npad // TILE
+    chunk = TILE_ROWS * 128 * INTERLEAVE
+    npad = _round_up(max(n, chunk), chunk)
+    n_groups = npad // chunk
     mt = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), ray.batch_shape
                           ).reshape(-1)
-    rays8 = _pack_rays(o, d, mt, n, npad, n_tiles, pad_maxt=-1.0)
-    t_tiles, prim_f = _cluster_traverse(
+    rays8 = _pack_rays(o, d, mt, n, npad, n_groups, INTERLEAVE, TILE_ROWS,
+                       pad_maxt=-1.0)
+    t_tiles, prim_f, _, _ = _cluster_traverse(
         rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
         cbvh.cluster_size, any_hit=True, interpret=interpret)
     bs = ray.batch_shape
