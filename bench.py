@@ -9,9 +9,9 @@ CPU reference" on this machine), measured once and pinned below.
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N, ...}
 
-Ray accounting: pixels * spp * num_bounces closest-hit rays per frame
-(the PT kernel traces one closest-hit per bounce for every live-or-masked
-lane; shadow rays are not cast by the PT kernel).  fwd+bwd = the full
+Ray accounting: pixels * spp * num_bounces * 2 rays per frame (the PT
+kernel with next-event estimation traces one closest-hit and one shadow
+ray per bounce for every live-or-masked lane).  fwd+bwd = the full
 value_and_grad step with gradients w.r.t. vertices + albedo.
 """
 
@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -31,6 +32,7 @@ CPU_ORACLE_MRAYS = 1.23
 WIDTH, HEIGHT = 1920, 1080
 SPP = 1
 BOUNCES = 5
+NEE = os.environ.get("BENCH_NEE", "1") == "1"
 TARGET_TRIS = 260_000
 TILE = 1 << 18  # 262144-ray tiles (bounds live memory incl. traversal stacks)
 REPS = 3
@@ -47,8 +49,15 @@ def main():
     from visionaray_tpu.scenes import sponza_like_scene
 
     dev = jax.devices()[0]
-    scene, cam = sponza_like_scene(target_tris=TARGET_TRIS, build_bvh=True)
+    scene, cam = sponza_like_scene(target_tris=TARGET_TRIS, build_bvh=False)
     n_tris = scene.num_triangles
+
+    # Pallas fast path: ClusterBVH (SMEM-resident top tree)
+    import dataclasses as _dc
+    from visionaray_tpu.ops.pallas.cluster_bvh import build_cluster_bvh
+    scene = _dc.replace(scene, bvh=jax.jit(
+        build_cluster_bvh, static_argnames=("cluster_size",))(
+            scene.mesh, cluster_size=32))
 
     from visionaray_tpu.sched.render import _pixel_grid, render_pixels
 
@@ -56,7 +65,18 @@ def main():
         scene, num_bounces=BOUNCES, epsilon=1e-3,
         bg_color=(0.2, 0.3, 0.5, 1.0), ambient_color=(1.0, 1.0, 1.0, 1.0))
 
-    x, y = _pixel_grid(WIDTH, HEIGHT)
+    # pixel-block swizzle: consecutive rays form 64x64 pixel tiles so the
+    # traversal kernel's per-tile frustum stays tight
+    import numpy as _np
+    B = 64
+    Wp, Hp = -(-WIDTH // B) * B, -(-HEIGHT // B) * B
+    yy, xx = _np.meshgrid(_np.arange(Hp), _np.arange(Wp), indexing="ij")
+    inb = (xx < WIDTH) & (yy < HEIGHT)
+    order = (yy // B) * (Wp // B) + (xx // B)
+    flat = _np.argsort(_np.where(inb, order, 1 << 30).reshape(-1),
+                       kind="stable")[: WIDTH * HEIGHT]
+    x = jnp.asarray(xx.reshape(-1)[flat], jnp.int32)
+    y = jnp.asarray(yy.reshape(-1)[flat], jnp.int32)
     n = x.shape[0]
     n_tiles = -(-n // TILE)
     pad = n_tiles * TILE - n
@@ -76,7 +96,7 @@ def main():
             tx, ty = args
             color, _ = render_pixels(p2, cam, tx, ty, WIDTH, HEIGHT,
                                      "pathtracing", SPP, "jittered_blend",
-                                     frame)
+                                     frame, nee=NEE)
             return jnp.sum(color[..., :3])
 
         sums = jax.lax.map(tile_fn, (xt, yt))
@@ -99,7 +119,7 @@ def main():
     jax.block_until_ready((loss, grads))
     sec_per_step = (time.perf_counter() - t0) / REPS
 
-    rays = WIDTH * HEIGHT * SPP * BOUNCES
+    rays = WIDTH * HEIGHT * SPP * BOUNCES * (2 if NEE else 1)
     mrays = rays / sec_per_step / 1e6
     print(json.dumps({
         "metric": "sponza_like_260k_1080p_pt_fwd_bwd",

@@ -128,3 +128,39 @@ class TestTraversal:
         g = jax.grad(loss)(mesh.vertices)
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0.0
+
+
+def test_traverse_depth_first_order():
+    """Depth-first visit order: every node once, left subtree before right
+    (the analogue of reference test/unittests/bvh/traverse.cpp)."""
+    import numpy as np
+    from visionaray_tpu.ops.lbvh import (
+        build_lbvh, traverse_depth_first, traverse_leaves, traverse_parents,
+    )
+    from visionaray_tpu.core.scene import TriangleMesh
+
+    rng = np.random.default_rng(3)
+    verts = rng.uniform(-1, 1, (30, 3)).astype(np.float32)
+    faces = rng.integers(0, 30, (16, 3)).astype(np.int32)
+    mesh = TriangleMesh.create(verts, faces)
+    bvh = build_lbvh(mesh)
+
+    visited = []
+    traverse_depth_first(bvh, lambda n, is_leaf: visited.append((n, is_leaf)))
+    n_internal = bvh.left.shape[0]
+    assert len(visited) == bvh.num_nodes
+    assert sorted(n for n, _ in visited) == list(range(bvh.num_nodes))
+    assert visited[0] == (0, False)
+    for n, is_leaf in visited:
+        assert is_leaf == (n >= n_internal)
+
+    leaves = []
+    traverse_leaves(bvh, leaves.append)
+    assert sorted(leaves) == list(range(n_internal, bvh.num_nodes))
+    # depth-first leaf order must match the visited subsequence
+    assert leaves == [n for n, il in visited if il]
+
+    # parent chain from any leaf ends at the root
+    chain = []
+    traverse_parents(bvh, n_internal + 3, chain.append)
+    assert chain[-1] == 0

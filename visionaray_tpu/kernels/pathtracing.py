@@ -9,6 +9,16 @@ Behavioral parity with reference detail/pathtracing.inl:24-132:
   - two-sided shading normal via faceforward
   - next ray: origin = isect_pos + wi * epsilon
 
+``nee=True`` adds next-event estimation (a capability the reference lacks;
+listed as "area sampling differentiable" in SURVEY §2.1 lights row): at
+every non-specular hit one light is chosen uniformly, a position on it is
+sampled (uniform over area lights' triangles), and the direct term is added
+through a shadow ray.  Emissive surfaces then only contribute when hit by
+the camera ray (bounce 0) so light paths are not double counted.  No MIS:
+lights seen via glossy BSDF bounces after bounce 0 are resolved by NEE
+alone (the standard bias-free NEE-without-MIS estimator; higher variance
+for sharp glossy lobes, exact for matte/plastic/emissive scenes).
+
 XLA note: the bounce loop is a lax.fori_loop so the (expensive-to-compile)
 BVH traversal is compiled once, not once per bounce.
 
@@ -23,26 +33,82 @@ import jax
 import jax.numpy as jnp
 
 from visionaray_tpu.core.types import Ray, ResultRecord
-from visionaray_tpu.core.vecmath import faceforward
+from visionaray_tpu.core.vecmath import cross, faceforward, length, normalize
 from visionaray_tpu.kernels.params import KernelParams
 from visionaray_tpu.ops.sampling import Sampler
-from visionaray_tpu.ops.trace import closest_hit
+from visionaray_tpu.ops.trace import any_hit, closest_hit
+from visionaray_tpu.shading.lights import AreaLights, light_groups
 from visionaray_tpu.shading.surface import get_surface
 
 
+def _nee_direct(scene, surf, n, view_dir, isect_pos, eps, ua, ub, ul):
+    """One-sample next-event estimate of the direct term at isect_pos.
+
+    Uniform light pick (pdf 1/total); area lights integrate over their
+    surface with the cos_l * A / (pi r^2) geometry factor (shade() carries
+    the reference's pi convention, so the factor divides it back out);
+    point/spot lights are delta lights whose intensity() already includes
+    attenuation.
+    """
+    groups = light_groups(scene.lights)
+    total = sum(g.num_lights for g in groups)
+    if total == 0:
+        return jnp.zeros(isect_pos.shape[:-1] + (3,), jnp.float32)
+
+    batch = isect_pos.shape[:-1]
+    sel_idx = jnp.minimum((ul * total).astype(jnp.int32), total - 1)
+    P = jnp.zeros(batch + (3,), jnp.float32)
+    I = jnp.zeros(batch + (3,), jnp.float32)
+    g = jnp.ones(batch, jnp.float32)
+    idx = 0
+    for lights in groups:
+        for li in range(lights.num_lights):
+            sel = sel_idx == idx
+            if isinstance(lights, AreaLights):
+                P_l = lights.sample(li, ua, ub)
+                to = P_l - isect_pos
+                r2 = jnp.maximum(jnp.sum(to * to, axis=-1), 1e-12)
+                wi_l = to / jnp.sqrt(r2)[..., None]
+                nl = lights.normal(li)
+                cos_l = jnp.maximum(0.0, -jnp.sum(nl * wi_l, axis=-1))
+                g_l = cos_l * lights.area(li) / (jnp.pi * r2)
+                I_l = lights.intensity(li, isect_pos)
+            else:
+                P_l = jnp.broadcast_to(lights.position[li],
+                                       batch + (3,))
+                g_l = jnp.ones(batch, jnp.float32)
+                I_l = lights.intensity(li, isect_pos)
+            P = jnp.where(sel[..., None], P_l, P)
+            I = jnp.where(sel[..., None], I_l, I)
+            g = jnp.where(sel, g_l, g)
+            idx += 1
+
+    to_light = P - isect_pos
+    dist = length(to_light)
+    wi = to_light / jnp.maximum(dist, 1e-12)[..., None]
+    shadow = any_hit(Ray(ori=isect_pos + wi * eps, dir=wi),
+                     scene, max_t=dist - 2.0 * eps)
+    visible = ~shadow.hit
+    direct = surf.materials.shade(n, view_dir, wi, I)
+    return direct * (g * visible * float(total))[..., None]
+
+
 def pathtracing_kernel(params: KernelParams, ray: Ray,
-                       sampler: Sampler) -> ResultRecord:
+                       sampler: Sampler, nee: bool = False) -> ResultRecord:
     scene = params.scene
     eps = params.epsilon
     amb3 = params.ambient_color[:3]
     batch = ray.batch_shape
 
-    def bounce_body(bounce, carry):
-        ray, sampler, active, dst, first_hit, first_t = carry
+    def bounce_body(carry, bounce):
+        ray, sampler, active, dst, acc, first_hit, first_t = carry
         hit_rec = closest_hit(ray, scene)
 
         exited = active & ~hit_rec.hit
-        dst = jnp.where(exited[..., None], dst * amb3, dst)
+        if nee:
+            acc = jnp.where(exited[..., None], acc + dst * amb3, acc)
+        else:
+            dst = jnp.where(exited[..., None], dst * amb3, dst)
         active = active & hit_rec.hit
 
         is_first = bounce == 0
@@ -53,11 +119,24 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
         view_dir = -ray.dir
         n = faceforward(surf.shading_normal, view_dir, surf.geometric_normal)
 
-        (u_lobe, u1, u2), sampler = sampler.next_n(3)
+        if nee:
+            (u_lobe, u1, u2, ul, ua, ub), sampler = sampler.next_n(6)
+        else:
+            (u_lobe, u1, u2), sampler = sampler.next_n(3)
         src, refl_dir, pdf = surf.materials.sample(n, view_dir, u_lobe, u1, u2)
 
         zero_pdf = pdf <= 0.0
         emissive = surf.materials.is_emissive()
+
+        if nee:
+            isect_pos0 = ray.at(jnp.where(hit_rec.hit, hit_rec.t, 1.0))
+            direct = _nee_direct(scene, surf, n, view_dir, isect_pos0,
+                                 eps, ua, ub, ul)
+            take_d = active & ~emissive
+            acc = jnp.where(take_d[..., None], acc + dst * direct, acc)
+            # emissive only counts on the camera ray (no double count)
+            take_e = active & emissive & is_first
+            acc = jnp.where(take_e[..., None], acc + dst * src, acc)
 
         # src *= dot(n, wi)/pdf for non-emissive (pathtracing.inl:97)
         safe_pdf = jnp.where(zero_pdf, 1.0, pdf)
@@ -66,6 +145,8 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
         src = src * weight[..., None]
 
         upd = active & ~zero_pdf
+        if nee:
+            upd = upd & ~emissive
         dst = jnp.where(upd[..., None], dst * src, dst)
         dst = jnp.where((zero_pdf & active)[..., None], 0.0, dst)
 
@@ -73,19 +154,36 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
 
         isect_pos = ray.at(jnp.where(hit_rec.hit, hit_rec.t, 1.0))
         ray = Ray(ori=isect_pos + refl_dir * eps, dir=refl_dir)
-        return (ray, sampler, active, dst, first_hit, first_t)
+        return (ray, sampler, active, dst, acc, first_hit, first_t), None
 
     init = (ray, sampler,
             jnp.ones(batch, jnp.bool_),
             jnp.ones(batch + (3,), jnp.float32),
+            jnp.zeros(batch + (3,), jnp.float32),
             jnp.zeros(batch, jnp.bool_),
             jnp.zeros(batch, jnp.float32))
-    _, _, active, dst, first_hit, first_t = jax.lax.fori_loop(
-        0, params.num_bounces, bounce_body, init)
+    # scan (not fori) + checkpoint: reverse-mode AD saves only the
+    # per-bounce carry + the traversal kernel outputs ("traced_hits") and
+    # recomputes the rest of the bounce interior (gathers, shading) in the
+    # backward sweep.  Without the checkpoint, residuals for every bounce
+    # of every ray blow HBM at 1080p (measured 50 GB); without the named
+    # save, the backward sweep re-runs the traversal kernel itself
+    # (profiled: traversal is ~96% of a training step).
+    carry, _ = jax.lax.scan(
+        jax.checkpoint(
+            bounce_body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "traced_hits")),
+        init, jnp.arange(params.num_bounces, dtype=jnp.int32))
+    _, _, active, dst, acc, first_hit, first_t = carry
 
-    # Paths still alive at loop end are terminated to black (pathtracing.inl:115)
-    dst = jnp.where(active[..., None], 0.0, dst)
+    if nee:
+        out = acc
+    else:
+        # paths still alive at loop end terminate to black
+        # (pathtracing.inl:115)
+        out = jnp.where(active[..., None], 0.0, dst)
 
-    rgba = jnp.concatenate([dst, jnp.ones_like(dst[..., :1])], axis=-1)
+    rgba = jnp.concatenate([out, jnp.ones_like(out[..., :1])], axis=-1)
     color = jnp.where(first_hit[..., None], rgba, params.bg_color)
     return ResultRecord(color=color, hit=first_hit, depth=first_t)

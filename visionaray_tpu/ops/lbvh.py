@@ -278,3 +278,42 @@ def validate(bvh: BVH, prim_lo, prim_hi) -> dict:
     out["leaves_match_prims"] = bool(
         np.allclose(lo[n - 1:], plo) and np.allclose(hi[n - 1:], phi))
     return out
+
+
+def traverse_depth_first(bvh: BVH, visit, node: int = 0):
+    """Host-side depth-first walk calling ``visit(node_index, is_leaf)``
+    (reference detail/bvh/traverse.h:34-58, stack<64> variant).
+
+    Left child first, like the reference's ordered push.  Debug/statistics
+    utility — runs in python on fetched arrays, not under jit.
+    """
+    import numpy as np
+
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    n_internal = left.shape[0]
+    stack = [int(node)]
+    while stack:
+        n = stack.pop()
+        is_leaf = n >= n_internal
+        visit(n, is_leaf)
+        if not is_leaf:
+            stack.append(int(right[n]))   # right popped after left
+            stack.append(int(left[n]))
+
+
+def traverse_leaves(bvh: BVH, visit, node: int = 0):
+    """Visit only leaves, depth first (traverse.h:61-70)."""
+    traverse_depth_first(
+        bvh, lambda n, is_leaf: visit(n) if is_leaf else None, node)
+
+
+def traverse_parents(bvh: BVH, node: int, visit):
+    """Walk parent links from ``node`` to the root (traverse.h:149-169)."""
+    import numpy as np
+
+    parent = np.asarray(bvh.parent)
+    n = int(parent[node])
+    while n >= 0:
+        visit(n)
+        n = int(parent[n])

@@ -50,9 +50,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from jax.ad_checkpoint import checkpoint_name
+
 from visionaray_tpu.core.types import FLT_MAX, HitRecord, Ray
 from visionaray_tpu.ops.intersect import intersect_triangle
 from visionaray_tpu.ops.pallas.cluster_bvh import ClusterBVH
+from visionaray_tpu.ops.lbvh import morton3d
 
 TILE_ROWS = 32       # sublane rows per ray tile; tile = TILE_ROWS*128 rays
 INTERLEAVE = 2       # independent tiles per kernel instance
@@ -392,11 +395,13 @@ def _pack_rays(o, d, mt, n, npad, n_groups, group, rows, pad_maxt):
 def _recompute_tuv(o, d, tbl, pid):
     """Differentiable (t, u, v) of the recorded winning primitive.
 
-    One wide-row gather of the fused (F, 9) corner table instead of three
-    narrow ones: gathers are latency-bound per row on TPU (profiled: three
-    separate takes cost more than the traversal kernel itself).
+    One wide-row gather of the fused, 16-column-padded corner table
+    instead of three narrow ones: row gathers are fast when rows are
+    32B-aligned power-of-two strides (profiled: three separate takes cost
+    more than the traversal kernel itself; a 9-column table falls off the
+    aligned fast path).
     """
-    rows_g = jnp.take(tbl, pid, axis=0)                     # (..., 9)
+    rows_g = jnp.take(tbl, pid, axis=0)                     # (..., 16)
     t, u, v, _ = intersect_triangle(
         o, d, rows_g[..., 0:3], rows_g[..., 3:6], rows_g[..., 6:9])
     return t, u, v
@@ -430,9 +435,68 @@ def _hit_tuv_bwd(res, cts):
 _hit_tuv.defvjp(_hit_tuv_fwd, _hit_tuv_bwd)
 
 
+def _coherence_perm(o, d, root_lo, root_hi):
+    """Sort key: direction octant (3b) | origin morton (29b).
+
+    Groups rays into tiles whose interval hulls stay tight: identical
+    direction signs (finite 1/d hull) and nearby origins.  Refining the
+    key with in-octant direction bits was measured SLOWER on the sponza
+    bench — origin locality dominates the hull volume.  Primary rays from
+    one camera share an origin, so the stable sort preserves any
+    caller-side pixel-block order within each octant.
+    Returns (perm, inv_perm).
+    """
+    ext = jnp.maximum(root_hi - root_lo, 1e-9)
+    q = jnp.clip((o - root_lo) / ext, 0.0, 1.0)
+    m = morton3d(q).astype(jnp.uint32)
+    octant = ((d[:, 0] < 0).astype(jnp.uint32)
+              + ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+              + ((d[:, 2] < 0).astype(jnp.uint32) << 2))
+    ad = jnp.clip(jnp.abs(d), 0.0, 1.0 - 1e-6)
+    dm = ((ad[:, 0] * 4).astype(jnp.uint32) << 4)         | ((ad[:, 1] * 4).astype(jnp.uint32) << 2)         | (ad[:, 2] * 4).astype(jnp.uint32)
+    key = (octant << 29) | (dm << 23) | (m >> 7)
+    perm = jnp.argsort(key)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype))
+    return perm, inv
+
+
+TWO_PASS_CAP_FRAC = 0.08   # pass-1 ray length cap, fraction of scene diag
+
+
+def _traverse_sorted(o, d, mt, n, cbvh, interpret):
+    """Run the kernel on pre-sorted rays; returns (n, 4) [t prim u v]."""
+    sg = jax.lax.stop_gradient
+    chunk = TILE_ROWS * 128 * INTERLEAVE
+    npad = _round_up(max(n, chunk), chunk)
+    n_groups = npad // chunk
+    rays8 = _pack_rays(o, d, mt, n, npad, n_groups, INTERLEAVE, TILE_ROWS,
+                       pad_maxt=-1.0)
+    t_tiles, prim_f, u_tiles, v_tiles = _cluster_traverse(
+        rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
+        cbvh.cluster_size, any_hit=False, interpret=interpret)
+    return jnp.stack([t_tiles.reshape(-1)[:n], prim_f.reshape(-1)[:n],
+                      u_tiles.reshape(-1)[:n], v_tiles.reshape(-1)[:n]],
+                     axis=1)
+
+
 def cluster_closest_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t=FLT_MAX,
-                        interpret: bool = False) -> HitRecord:
-    """Closest hit via the Pallas kernel; differentiable by recompute."""
+                        interpret: bool = False,
+                        sort_rays: bool = True,
+                        two_pass: bool = False) -> HitRecord:
+    """Closest hit via the Pallas kernel; differentiable by recompute.
+
+    ``two_pass``: optimization for ENCLOSED scenes (most rays hit within
+    a short range; off by default — in open scenes sky-bound rays pay for
+    both passes).  Pass 1 traces with a
+    per-ray length cap (a fraction of the scene diagonal): the tile-wide
+    occlusion bound then confines each tile's traversal to the
+    neighbourhood of its origins, which is what makes diffuse bounce rays
+    tractable under consensus traversal.  A hit under the cap is already
+    the global closest (anything else is farther by construction); only
+    capped MISSES re-trace at full range in pass 2, sorted to the front so
+    fully-resolved tiles retire on their first frustum test.
+    """
     sg = jax.lax.stop_gradient
     o = sg(ray.ori.reshape(-1, 3))
     d = sg(ray.dir.reshape(-1, 3))
@@ -440,23 +504,59 @@ def cluster_closest_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t=FLT_MAX,
     chunk = TILE_ROWS * 128 * INTERLEAVE
     npad = _round_up(max(n, chunk), chunk)
     n_groups = npad // chunk
-    mt = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (n,))
-    rays8 = _pack_rays(o, d, mt, n, npad, n_groups, INTERLEAVE, TILE_ROWS,
-                       pad_maxt=-1.0)
+    mt = sg(jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (n,)))
+    if sort_rays and n > chunk:
+        root_lo = sg(cbvh.nodes[0, 0:3])
+        root_hi = sg(cbvh.nodes[0, 3:6])
+        perm, inv = _coherence_perm(o, d, root_lo, root_hi)
+        rt = jnp.take(jnp.concatenate(
+            [o, d, mt[:, None], jnp.zeros((n, 1), o.dtype)], axis=1),
+            perm, axis=0)
+        o, d, mt = rt[:, 0:3], rt[:, 3:6], rt[:, 6]
+    else:
+        inv = None
 
-    t_tiles, prim_f, u_tiles, v_tiles = _cluster_traverse(
-        rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
-        cbvh.cluster_size, any_hit=False, interpret=interpret)
-    prim_flat = prim_f.reshape(-1)[:n]
+    if two_pass and inv is not None:
+        diag = jnp.linalg.norm(root_hi - root_lo)
+        cap = TWO_PASS_CAP_FRAC * diag
+        outs1 = _traverse_sorted(o, d, jnp.minimum(mt, cap), n, cbvh,
+                                 interpret)
+        missed = (outs1[:, 1] < 0.0) & (mt > cap)
+        # pass 2: full range for capped misses only; resolved lanes carry
+        # max_t = -1 so their tiles terminate immediately.  Stable sort on
+        # miss-ness packs the misses densely while preserving coherence.
+        perm2 = jnp.argsort((~missed).astype(jnp.int32), stable=True)
+        inv2 = jnp.zeros_like(perm2).at[perm2].set(
+            jnp.arange(n, dtype=perm2.dtype))
+        mt2 = jnp.where(missed, mt, -1.0)
+        rt2 = jnp.take(jnp.concatenate(
+            [o, d, mt2[:, None], jnp.zeros((n, 1), o.dtype)], axis=1),
+            perm2, axis=0)
+        outs2 = _traverse_sorted(rt2[:, 0:3], rt2[:, 3:6], rt2[:, 6], n,
+                                 cbvh, interpret)
+        outs2 = jnp.take(outs2, inv2, axis=0)
+        outs = jnp.where(missed[:, None], outs2, outs1)
+    else:
+        mt1 = mt if inv is not None else mt
+        outs = _traverse_sorted(o, d, mt1, n, cbvh, interpret)
+
+    # name the kernel outputs so a remat'd caller can save them instead of
+    # re-running the traversal in the backward sweep
+    # (jax.checkpoint_policies.save_only_these_names("traced_hits"))
+    outs = checkpoint_name(outs, "traced_hits")
+    if inv is not None:
+        outs = jnp.take(outs, inv, axis=0)
     bs = ray.batch_shape
+    prim_flat = outs[:, 1]
     hit = (prim_flat >= 0.0).reshape(bs)
     pid = jnp.where(hit, prim_flat.reshape(bs).astype(jnp.int32), 0)
-    kt = t_tiles.reshape(-1)[:n].reshape(bs)
-    ku = u_tiles.reshape(-1)[:n].reshape(bs)
-    kv = v_tiles.reshape(-1)[:n].reshape(bs)
+    kt = outs[:, 0].reshape(bs)
+    ku = outs[:, 2].reshape(bs)
+    kv = outs[:, 3].reshape(bs)
 
     v1, e1, e2 = mesh.corners()
-    tbl = jnp.concatenate([v1, e1, e2], axis=-1)            # (F, 9)
+    tbl = jnp.concatenate(
+        [v1, e1, e2, jnp.zeros(v1.shape[:-1] + (7,), v1.dtype)], axis=-1)
     t, u, v = _hit_tuv(ray.ori, ray.dir, tbl, pid, kt, ku, kv)
     return HitRecord(
         hit=hit,
@@ -469,7 +569,8 @@ def cluster_closest_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t=FLT_MAX,
 
 
 def cluster_any_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t,
-                    interpret: bool = False) -> HitRecord:
+                    interpret: bool = False,
+                    sort_rays: bool = True) -> HitRecord:
     """Occlusion query with whole-tile early exit."""
     sg = jax.lax.stop_gradient
     o = sg(ray.ori.reshape(-1, 3))
@@ -478,16 +579,30 @@ def cluster_any_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t,
     chunk = TILE_ROWS * 128 * INTERLEAVE
     npad = _round_up(max(n, chunk), chunk)
     n_groups = npad // chunk
-    mt = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), ray.batch_shape
-                          ).reshape(-1)
+    mt = sg(jnp.broadcast_to(jnp.asarray(max_t, jnp.float32),
+                             ray.batch_shape).reshape(-1))
+    if sort_rays and n > chunk:
+        perm, inv = _coherence_perm(o, d, sg(cbvh.nodes[0, 0:3]),
+                                    sg(cbvh.nodes[0, 3:6]))
+        rt = jnp.take(jnp.concatenate(
+            [o, d, mt[:, None], jnp.zeros((n, 1), o.dtype)], axis=1),
+            perm, axis=0)
+        o, d, mt = rt[:, 0:3], rt[:, 3:6], rt[:, 6]
+    else:
+        inv = None
     rays8 = _pack_rays(o, d, mt, n, npad, n_groups, INTERLEAVE, TILE_ROWS,
                        pad_maxt=-1.0)
     t_tiles, prim_f, _, _ = _cluster_traverse(
         rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
         cbvh.cluster_size, any_hit=True, interpret=interpret)
+    t_tiles, prim_f = checkpoint_name((t_tiles, prim_f), "traced_hits")
+    outs = jnp.stack([t_tiles.reshape(-1)[:n], prim_f.reshape(-1)[:n]],
+                     axis=1)
+    if inv is not None:
+        outs = jnp.take(outs, inv, axis=0)
     bs = ray.batch_shape
-    prim_flat = prim_f.reshape(-1)[:n].reshape(bs)
-    t = t_tiles.reshape(-1)[:n].reshape(bs)
+    prim_flat = outs[:, 1].reshape(bs)
+    t = outs[:, 0].reshape(bs)
     hit = prim_flat >= 0.0
     pid = jnp.where(hit, prim_flat.astype(jnp.int32), 0)
     return HitRecord(

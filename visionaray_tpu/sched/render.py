@@ -90,7 +90,7 @@ def _pixel_grid(width, height):
 
 def render_pixels(params: KernelParams, cam, x, y, width, height,
                   algo: str, spp: int, pixel_sampler: str,
-                  frame_num, seed: int = 0):
+                  frame_num, seed: int = 0, nee: bool = False):
     """Render a flat batch of pixels; returns (color (N,4), depth (N,)).
 
     The spp loop is a lax.fori_loop so the (expensive-to-compile) kernel
@@ -117,7 +117,10 @@ def render_pixels(params: KernelParams, cam, x, y, width, height,
         else:
             jitter = None
         ray = cam.primary_rays(x, y, width, height, jitter)
-        rec = kernel(params, ray, samp)
+        if algo == "pathtracing":
+            rec = kernel(params, ray, samp, nee=nee)
+        else:
+            rec = kernel(params, ray, samp)
         return (color + rec.color,
                 depth + jnp.where(rec.hit, rec.depth, 0.0))
 
@@ -133,10 +136,10 @@ def render_pixels(params: KernelParams, cam, x, y, width, height,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "algo", "spp", "pixel_sampler",
-                     "tile_size"))
+                     "tile_size", "nee"))
 def _render_frame(params: KernelParams, cam, width: int, height: int,
                   algo: str, spp: int, pixel_sampler: str, tile_size: int,
-                  frame_num, seed: int = 0):
+                  frame_num, seed: int = 0, nee: bool = False):
     x, y = _pixel_grid(width, height)
     if tile_size and x.shape[0] > tile_size:
         n = x.shape[0]
@@ -150,14 +153,16 @@ def _render_frame(params: KernelParams, cam, width: int, height: int,
         def tile_fn(args):
             tx, ty = args
             return render_pixels(params, cam, tx, ty, width, height,
-                                 algo, spp, pixel_sampler, frame_num, seed)
+                                 algo, spp, pixel_sampler, frame_num, seed,
+                                 nee=nee)
 
         color_t, depth_t = jax.lax.map(tile_fn, (xt, yt))
         color = color_t.reshape(-1, 4)[:n]
         depth = depth_t.reshape(-1)[:n]
     else:
         color, depth = render_pixels(params, cam, x, y, width, height,
-                                     algo, spp, pixel_sampler, frame_num, seed)
+                                     algo, spp, pixel_sampler, frame_num,
+                                     seed, nee=nee)
     return (color.reshape(height, width, 4), depth.reshape(height, width))
 
 
@@ -166,7 +171,7 @@ def render(scene, cam, width: int, height: int, algo: str = "simple",
            epsilon: Optional[float] = None, bg_color=(0.1, 0.4, 1.0, 1.0),
            ambient: Optional[tuple] = None, pixel_sampler: Optional[str] = None,
            frame_num: int = 1, seed: int = 0, tile_size: int = 0,
-           rt: Optional[RenderTarget] = None):
+           rt: Optional[RenderTarget] = None, nee: bool = False):
     """Render one frame; the call_kernel analogue (src/common/call_kernel.h).
 
     Defaults mirror the viewer (viewer.cpp:489-496): bounces 4 (10 for PT),
@@ -193,7 +198,7 @@ def render(scene, cam, width: int, height: int, algo: str = "simple",
 
     color, depth = _render_frame(
         params, cam, width, height, algo, spp, pixel_sampler, tile_size,
-        jnp.uint32(frame_num), seed)
+        jnp.uint32(frame_num), seed, nee=nee)
 
     if rt is None:
         return RenderTarget(color=color, depth=depth, width=width, height=height)

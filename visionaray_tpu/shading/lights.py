@@ -131,3 +131,79 @@ class SpotLights:
 
     def sample(self, light_idx, u1=None, u2=None):
         return self.position[light_idx]
+
+
+@pytree_dataclass
+class AreaLights:
+    """Area lights over triangle geometry (reference area_light.h:17-41,
+    detail/area_light.inl).
+
+    The reference wraps a geometry and samples positions on it; here the
+    geometry is a triangle per light in v1/e1/e2 form (a rectangle is two
+    lights).  ``position`` (the centroid) keeps the point-light kernel
+    interface working; ``sample`` draws uniform positions for soft shadows
+    and next-event estimation.  All fields are differentiable leaves.
+    """
+
+    v1: Any         # (L, 3)
+    e1: Any         # (L, 3)
+    e2: Any         # (L, 3)
+    cl: Any         # (L, 3)
+    kl: Any         # (L,)
+
+    @staticmethod
+    def create(v1, e1, e2, cl=(1.0, 1.0, 1.0), kl=1.0):
+        v1 = jnp.asarray(v1, jnp.float32).reshape(-1, 3)
+        L = v1.shape[0]
+        e1 = jnp.broadcast_to(jnp.asarray(e1, jnp.float32), (L, 3))
+        e2 = jnp.broadcast_to(jnp.asarray(e2, jnp.float32), (L, 3))
+        cl = jnp.broadcast_to(jnp.asarray(cl, jnp.float32), (L, 3))
+        kl = jnp.broadcast_to(jnp.asarray(kl, jnp.float32), (L,))
+        return AreaLights(v1, e1, e2, cl, kl)
+
+    @staticmethod
+    def rect(corner, edge1, edge2, cl=(1.0, 1.0, 1.0), kl=1.0):
+        """A rectangle = two triangle lights."""
+        c = jnp.asarray(corner, jnp.float32).reshape(3)
+        a = jnp.asarray(edge1, jnp.float32).reshape(3)
+        b = jnp.asarray(edge2, jnp.float32).reshape(3)
+        v1 = jnp.stack([c, c + a + b])
+        e1 = jnp.stack([a, -a])
+        e2 = jnp.stack([b, -b])
+        return AreaLights.create(v1, e1, e2, cl=cl, kl=kl)
+
+    @property
+    def num_lights(self):
+        return self.v1.shape[0]
+
+    @property
+    def position(self):
+        """Centroids — keeps the point-light kernel loop working."""
+        return self.v1 + (self.e1 + self.e2) / 3.0
+
+    def normal(self, light_idx):
+        from visionaray_tpu.core.vecmath import cross, normalize
+        return normalize(cross(self.e1[light_idx], self.e2[light_idx]))
+
+    def area(self, light_idx):
+        from visionaray_tpu.core.vecmath import cross
+        return 0.5 * length(cross(self.e1[light_idx], self.e2[light_idx]))
+
+    def intensity(self, light_idx, pos):
+        """cl * kl (area lights carry no distance attenuation in the
+        reference; the geometric 1/r^2 falls out of the estimator)."""
+        scale = self.kl[light_idx]
+        base = self.cl[light_idx] * scale
+        return jnp.broadcast_to(base, pos.shape[:-1] + (3,))
+
+    def sample(self, light_idx, u1=None, u2=None):
+        """Uniform position on the triangle (area_light.inl sample_surface);
+        u1/u2 (...,) uniforms; returns (..., 3)."""
+        if u1 is None:
+            return self.position[light_idx]
+        su = jnp.sqrt(jnp.clip(u1, 0.0, 1.0))
+        b1 = 1.0 - su
+        b2 = u2 * su
+        return (self.v1[light_idx]
+                + b1[..., None] * self.e1[light_idx]
+                + b2[..., None] * self.e2[light_idx])
