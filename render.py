@@ -66,6 +66,12 @@ def main(argv=None):
     p.add_argument("--output", "-o", default="out.png")
     p.add_argument("--no-srgb", action="store_true")
     p.add_argument("--no-bvh", action="store_true")
+    p.add_argument("--bvh", choices=["lbvh", "cluster"], default="lbvh",
+                   help="acceleration structure: lbvh (jnp tier, runs "
+                        "anywhere) or cluster (Pallas TPU fast path)")
+    p.add_argument("--nee", action="store_true",
+                   help="next-event estimation for pathtracing (soft "
+                        "shadows / direct light sampling)")
     p.add_argument("--tile-size", type=int, default=0)
     p.add_argument("--target-tris", type=int, default=260_000)
     p.add_argument("--benchmark", action="store_true",
@@ -87,6 +93,12 @@ def main(argv=None):
     from visionaray_tpu.sched.render import render
 
     scene, cam = build_scene(args.scene, args)
+    if args.bvh == "cluster" and scene.mesh is not None and not args.no_bvh:
+        import dataclasses
+        from visionaray_tpu.ops.pallas.cluster_bvh import build_cluster_bvh
+        scene = dataclasses.replace(
+            scene, bvh=jax.jit(build_cluster_bvh,
+                               static_argnames=("cluster_size",))(scene.mesh))
     if cam is None or args.eye is not None or args.camera is not None:
         from visionaray_tpu.core.camera import Pinhole
         if args.camera:
@@ -112,7 +124,7 @@ def main(argv=None):
         rt = render(scene, cam, args.width, args.height,
                     algo=args.algorithm, spp=args.spp, bounces=args.bounces,
                     ambient=ambient, frame_num=frame,
-                    tile_size=args.tile_size, rt=rt)
+                    tile_size=args.tile_size, rt=rt, nee=args.nee)
     rt.color.block_until_ready()
     elapsed = time.perf_counter() - t_start
 
@@ -132,7 +144,8 @@ def main(argv=None):
             rt = render(scene, cam, args.width, args.height,
                         algo=args.algorithm, spp=args.spp,
                         bounces=args.bounces, ambient=ambient,
-                        frame_num=frame, tile_size=args.tile_size, rt=rt)
+                        frame_num=frame, tile_size=args.tile_size, rt=rt,
+                        nee=args.nee)
         rt.color.block_until_ready()
         dt = (time.perf_counter() - t0) / reps
         bounces = args.bounces or (10 if args.algorithm == "pathtracing" else 4)

@@ -452,9 +452,7 @@ def _coherence_perm(o, d, root_lo, root_hi):
     octant = ((d[:, 0] < 0).astype(jnp.uint32)
               + ((d[:, 1] < 0).astype(jnp.uint32) << 1)
               + ((d[:, 2] < 0).astype(jnp.uint32) << 2))
-    ad = jnp.clip(jnp.abs(d), 0.0, 1.0 - 1e-6)
-    dm = ((ad[:, 0] * 4).astype(jnp.uint32) << 4)         | ((ad[:, 1] * 4).astype(jnp.uint32) << 2)         | (ad[:, 2] * 4).astype(jnp.uint32)
-    key = (octant << 29) | (dm << 23) | (m >> 7)
+    key = (octant << 29) | (m >> 1)
     perm = jnp.argsort(key)
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(perm.shape[0], dtype=perm.dtype))
