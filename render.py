@@ -37,6 +37,9 @@ def build_scene(name: str, args):
             from visionaray_tpu.scenes import sponza_like_scene
             return sponza_like_scene(target_tris=args.target_tris,
                                      build_bvh=not args.no_bvh)
+        if key == "volume":
+            from visionaray_tpu.scenes import volume_scene
+            return volume_scene()
         raise SystemExit(f"unknown builtin scene: {key}")
     # OBJ file
     from visionaray_tpu.io.obj import load_obj_scene
@@ -51,7 +54,8 @@ def main(argv=None):
     p.add_argument("--scene", required=True,
                    help="OBJ path or builtin:{tri_sphere_plane,cornell,teapot,sponza}")
     p.add_argument("--algorithm", default="simple",
-                   choices=["simple", "whitted", "pathtracing", "ao"])
+                   choices=["simple", "whitted", "pathtracing", "ao",
+                            "volume"])
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=1)

@@ -145,10 +145,56 @@ def get_surface(o, d, best, scene_np):
     return pos, gn, sn
 
 
-def shade_material(mats, gid, n, wo, wi, intensity):
-    """matte/plastic direct shading; mats is a dict of np arrays."""
+def tex_color_at(scene_np, best):
+    """Bilinear WRAP texture color at the hit (or ones when untextured).
+
+    Triangles only (matching get_surface): uv = barycentric lerp of the
+    per-corner uvs, sampled from the per-material texture with the
+    half-texel-centered bilinear convention of texture.tex2d.
+    """
+    tex = scene_np.get("textures")
+    N = best["prim"].shape[0]
+    tc = np.ones((N, 3))
+    if tex is None:
+        return tc
+    corner_uvs, texels, enabled = tex
+    ntri = corner_uvs.shape[0]
+    pid = np.clip(best["prim"], 0, max(ntri - 1, 0))
+    is_tri = best["prim"] < ntri
+    u, v = best["u"], best["v"]
+    uv = ((1.0 - u - v)[:, None] * corner_uvs[pid, 0]
+          + u[:, None] * corner_uvs[pid, 1]
+          + v[:, None] * corner_uvs[pid, 2])
+    gid = np.clip(best["geom"], 0, texels.shape[0] - 1)
+    H, W = texels.shape[1], texels.shape[2]
+    x = uv[:, 0] * W - 0.5
+    y = uv[:, 1] * H - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    def fetch(xi, yi):
+        return texels[gid, np.mod(yi, H), np.mod(xi, W)]
+
+    val = ((1 - fx) * (1 - fy) * fetch(x0, y0)
+           + fx * (1 - fy) * fetch(x0 + 1, y0)
+           + (1 - fx) * fy * fetch(x0, y0 + 1)
+           + fx * fy * fetch(x0 + 1, y0 + 1))
+    val = np.where(enabled[gid][:, None], val, 1.0)
+    return np.where(is_tri[:, None], val, tc)
+
+
+def shade_material(mats, gid, n, wo, wi, intensity, tex=None):
+    """matte/plastic direct shading; mats is a dict of np arrays.
+
+    ``tex``: optional (N,3) texture color multiplied into the diffuse and
+    emissive terms (reference matte.inl:64, plastic.inl:62, emissive.inl:89).
+    """
     mtype = mats["mtype"][gid]
     cd = mats["cd"][gid]
+    if tex is not None:
+        cd = cd * tex
     kd = mats["kd"][gid]
     cs = mats["cs"][gid]
     ks = mats["ks"][gid]
@@ -164,7 +210,10 @@ def shade_material(mats, gid, n, wo, wi, intensity):
                        * hdotn ** exp)[:, None]
     matte_c = np.pi * diffuse * intensity * ndotl[:, None]
     plastic_c = np.pi * (diffuse + blinn) * intensity * ndotl[:, None]
-    emissive_c = mats["ce"][gid] * mats["ls"][gid][:, None]
+    ce = mats["ce"][gid]
+    if tex is not None:
+        ce = ce * tex
+    emissive_c = ce * mats["ls"][gid][:, None]
     out = np.zeros_like(matte_c)
     out = np.where(mtype[:, None] == 1, matte_c, out)
     out = np.where(mtype[:, None] == 3, plastic_c, out)
@@ -196,11 +245,12 @@ def render_simple(scene_np, cam_np, width, height,
     ambient = np.asarray(ambient)
     shaded = ambient_term(scene_np["materials"], best["geom"], ambient)
     shaded = np.where(best["hit"][:, None], shaded, bg[None, :3])
+    tex = tex_color_at(scene_np, best)
     for light in scene_np["lights"]:
         wi = _norm(light[0][None] - pos)
         inten = light_intensity(light, pos)
         clr = shade_material(scene_np["materials"], best["geom"],
-                             n, wo, wi, inten)
+                             n, wo, wi, inten, tex=tex)
         shaded = shaded + np.where(best["hit"][:, None], clr, 0.0)
     rgba = np.concatenate([shaded, np.ones((len(o), 1))], axis=-1)
     out = np.where(best["hit"][:, None], rgba, bg[None])
@@ -229,6 +279,7 @@ def render_whitted(scene_np, cam_np, width, height, bounces=4, epsilon=1e-3,
         n = np.where(np.einsum("nd,nd->n", gn, wo)[:, None] < 0.0, -sn, sn)
         shaded = ambient_term(mats, best["geom"], ambient)
         shaded = np.where(best["hit"][:, None], shaded, bg[None, :3])
+        tex = tex_color_at(scene_np, best)
         for light in scene_np["lights"]:
             to_l = light[0][None] - pos
             dist = np.linalg.norm(to_l, axis=-1)
@@ -236,7 +287,8 @@ def render_whitted(scene_np, cam_np, width, height, bounces=4, epsilon=1e-3,
             occluded = any_hit(pos + wi * epsilon, wi, scene_np, dist)
             lit = best["hit"] & ~occluded
             inten = light_intensity(light, pos)
-            clr = shade_material(mats, best["geom"], n, wo, wi, inten)
+            clr = shade_material(mats, best["geom"], n, wo, wi, inten,
+                                 tex=tex)
             shaded = shaded + np.where(lit[:, None], clr, 0.0)
         seg = np.where(best["hit"][:, None], shaded, no_hit_color)
         color += np.where(live[:, None], seg * throughput[:, None], 0.0)
@@ -284,6 +336,12 @@ def scene_to_np(scene):
                         for k in ("cd", "kd", "cs", "ks", "specular_exp",
                                   "ca", "ka", "ce", "ls", "kr")}
     out["materials"]["mtype"] = np.asarray(m.mtype)
+    if scene.textures is not None and scene.mesh is not None:
+        out["textures"] = (
+            np.asarray(scene.mesh.tex_coords, np.float64),
+            np.asarray(scene.textures.texels, np.float64),
+            np.asarray(scene.textures.enabled),
+        )
     out["lights"] = [
         (np.asarray(scene.lights.position[i], np.float64),
          np.asarray(scene.lights.cl[i], np.float64),

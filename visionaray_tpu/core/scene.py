@@ -149,17 +149,18 @@ class Scene:
     lights: PointLights
     bvh: Any = None          # ops.lbvh.BVH or None
     textures: Any = None     # shading.texture.TextureAtlas or None
+    volumes: Any = None      # kernels.volume.Volumes or None
 
     @staticmethod
     def create(mesh=None, spheres=None, planes=None, materials=None,
-               lights=None, bvh=None, textures=None):
+               lights=None, bvh=None, textures=None, volumes=None):
         if materials is None:
             materials = Materials.default()
         if lights is None:
             lights = PointLights.none()
         return Scene(mesh=mesh, spheres=spheres, planes=planes,
                      materials=materials, lights=lights, bvh=bvh,
-                     textures=textures)
+                     textures=textures, volumes=volumes)
 
     @property
     def num_triangles(self):
@@ -184,4 +185,7 @@ class Scene:
             r = self.spheres.radius[:, None]
             lo = jnp.minimum(lo, jnp.min(self.spheres.center - r, axis=0))
             hi = jnp.maximum(hi, jnp.max(self.spheres.center + r, axis=0))
+        if self.volumes is not None:
+            lo = jnp.minimum(lo, jnp.min(self.volumes.lo, axis=0))
+            hi = jnp.maximum(hi, jnp.max(self.volumes.hi, axis=0))
         return AABB(lo, hi)

@@ -171,14 +171,37 @@ def load_obj(path: str):
 
 
 def load_obj_scene(path: str, lights: Optional[PointLights] = None,
-                   build_bvh: bool = True) -> Scene:
+                   build_bvh: bool = True,
+                   texture_resolution: int = 256) -> Scene:
     """Load an OBJ into a ready-to-render Scene (viewer startup path,
-    viewer.cpp:745-783: load_obj + build)."""
-    import dataclasses
+    viewer.cpp:745-783: load_obj + build).
 
-    mesh, materials, _tex = load_obj(path)
+    map_Kd textures are loaded at load time like the reference
+    (obj_loader.cpp:202-246 resolves texture files into the model) and
+    packed into a TextureAtlas bound to the scene; missing files are
+    skipped with a warning, matching the reference's non-fatal handling.
+    """
+    import dataclasses
+    import warnings
+
+    mesh, materials, tex_names = load_obj(path)
+    textures = None
+    images = {}
+    for gid, name in enumerate(tex_names):
+        if not name:
+            continue
+        if not os.path.exists(name):
+            warnings.warn(f"map_Kd texture not found, skipping: {name}")
+            continue
+        from visionaray_tpu.io.image import load_image
+        images[gid] = load_image(name, srgb=True)
+    if images:
+        from visionaray_tpu.shading.texture import TextureAtlas
+        textures = TextureAtlas.pack(images, materials.num_materials,
+                                     resolution=texture_resolution)
     scene = Scene.create(mesh=mesh, materials=materials,
-                         lights=lights or PointLights.none())
+                         lights=lights or PointLights.none(),
+                         textures=textures)
     if build_bvh:
         from visionaray_tpu.ops.lbvh import build_lbvh
         scene = dataclasses.replace(scene, bvh=build_lbvh(mesh))

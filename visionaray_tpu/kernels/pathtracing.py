@@ -14,7 +14,9 @@ listed as "area sampling differentiable" in SURVEY §2.1 lights row): at
 every non-specular hit one light is chosen uniformly, a position on it is
 sampled (uniform over area lights' triangles), and the direct term is added
 through a shadow ray.  Emissive surfaces then only contribute when hit by
-the camera ray (bounce 0) so light paths are not double counted.  No MIS:
+the camera ray (bounce 0) or through a delta/specular chain (NEE cannot
+sample a light through a mirror, so that term rides the path) — any other
+arrival is already accounted by NEE at the previous bounce.  No MIS:
 lights seen via glossy BSDF bounces after bounce 0 are resolved by NEE
 alone (the standard bias-free NEE-without-MIS estimator; higher variance
 for sharp glossy lobes, exact for matte/plastic/emissive scenes).
@@ -101,7 +103,8 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
     batch = ray.batch_shape
 
     def bounce_body(carry, bounce):
-        ray, sampler, active, dst, acc, first_hit, first_t = carry
+        (ray, sampler, active, dst, acc, first_hit, first_t,
+         prev_delta) = carry
         hit_rec = closest_hit(ray, scene)
 
         exited = active & ~hit_rec.hit
@@ -134,8 +137,12 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
                                  eps, ua, ub, ul)
             take_d = active & ~emissive
             acc = jnp.where(take_d[..., None], acc + dst * direct, acc)
-            # emissive only counts on the camera ray (no double count)
-            take_e = active & emissive & is_first
+            # emissive counts on the camera ray and after a delta (specular)
+            # bounce — NEE cannot sample a light through a delta BSDF
+            # (shade() is 0 there, materials.py is_specular), so the emitted
+            # term must come through the path itself or mirror reflections
+            # of lights render black
+            take_e = active & emissive & (is_first | prev_delta)
             acc = jnp.where(take_e[..., None], acc + dst * src, acc)
 
         # src *= dot(n, wi)/pdf for non-emissive (pathtracing.inl:97)
@@ -154,14 +161,17 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
 
         isect_pos = ray.at(jnp.where(hit_rec.hit, hit_rec.t, 1.0))
         ray = Ray(ori=isect_pos + refl_dir * eps, dir=refl_dir)
-        return (ray, sampler, active, dst, acc, first_hit, first_t), None
+        prev_delta = active & surf.materials.is_specular()
+        return (ray, sampler, active, dst, acc, first_hit, first_t,
+                prev_delta), None
 
     init = (ray, sampler,
             jnp.ones(batch, jnp.bool_),
             jnp.ones(batch + (3,), jnp.float32),
             jnp.zeros(batch + (3,), jnp.float32),
             jnp.zeros(batch, jnp.bool_),
-            jnp.zeros(batch, jnp.float32))
+            jnp.zeros(batch, jnp.float32),
+            jnp.zeros(batch, jnp.bool_))
     # scan (not fori) + checkpoint: reverse-mode AD saves only the
     # per-bounce carry + the traversal kernel outputs ("traced_hits") and
     # recomputes the rest of the bounce interior (gathers, shading) in the
@@ -175,7 +185,7 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
             policy=jax.checkpoint_policies.save_only_these_names(
                 "traced_hits")),
         init, jnp.arange(params.num_bounces, dtype=jnp.int32))
-    _, _, active, dst, acc, first_hit, first_t = carry
+    _, _, active, dst, acc, first_hit, first_t, _ = carry
 
     if nee:
         out = acc

@@ -52,10 +52,12 @@ class Volumes:
 def volume_kernel(params: KernelParams, ray: Ray, sampler=None,
                   volumes: Volumes = None, step_scale: float = 1.0
                   ) -> ResultRecord:
-    """March all volumes front-to-back.  ``volumes`` may also be attached to
-    ``params.scene.textures`` by callers; explicit arg wins."""
-    vols = volumes
-    assert vols is not None, "volume_kernel needs a Volumes instance"
+    """March all volumes front-to-back.  ``volumes`` defaults to
+    ``params.scene.volumes`` (the scheduler registry path); an explicit arg
+    wins."""
+    vols = volumes if volumes is not None else params.scene.volumes
+    assert vols is not None, \
+        "volume_kernel needs a Volumes instance (scene.volumes or arg)"
     batch = ray.batch_shape
     dst = jnp.zeros(batch + (4,), jnp.float32)
     inv_d = 1.0 / ray.dir

@@ -59,7 +59,15 @@ from visionaray_tpu.ops.lbvh import morton3d
 
 TILE_ROWS = 32       # sublane rows per ray tile; tile = TILE_ROWS*128 rays
 INTERLEAVE = 2       # independent tiles per kernel instance
-STACK_DEPTH = 64     # top-tree depth bound
+# Top-tree depth bound.  64 is PROVABLY sufficient for any input, not a
+# heuristic clamp: along any root-to-leaf path of a Karras'12 radix tree the
+# range's common-prefix length (delta) strictly increases; delta takes at
+# most 30 values for distinct 30-bit morton codes (lbvh.morton3d) plus at
+# most 32 index-tiebreak values for duplicate codes (lbvh._delta_fn), so
+# depth <= 63 regardless of prim count or degenerate layouts.  The
+# adversarial case (all-identical centroids) is exercised by
+# tests/test_lbvh.py::test_degenerate_layout_stack_bound.
+STACK_DEPTH = 64
 _INV_CLAMP = 1e18    # keeps interval products finite (no inf*0 NaNs)
 
 
@@ -502,10 +510,11 @@ def cluster_closest_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t=FLT_MAX,
     chunk = TILE_ROWS * 128 * INTERLEAVE
     npad = _round_up(max(n, chunk), chunk)
     n_groups = npad // chunk
-    mt = sg(jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (n,)))
+    mt = sg(jnp.broadcast_to(jnp.asarray(max_t, jnp.float32),
+                             ray.batch_shape).reshape(-1))
+    root_lo = sg(cbvh.nodes[0, 0:3])
+    root_hi = sg(cbvh.nodes[0, 3:6])
     if sort_rays and n > chunk:
-        root_lo = sg(cbvh.nodes[0, 0:3])
-        root_hi = sg(cbvh.nodes[0, 3:6])
         perm, inv = _coherence_perm(o, d, root_lo, root_hi)
         rt = jnp.take(jnp.concatenate(
             [o, d, mt[:, None], jnp.zeros((n, 1), o.dtype)], axis=1),
@@ -514,7 +523,7 @@ def cluster_closest_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t=FLT_MAX,
     else:
         inv = None
 
-    if two_pass and inv is not None:
+    if two_pass:  # independent of the sort: pass 2 builds its own packing
         diag = jnp.linalg.norm(root_hi - root_lo)
         cap = TWO_PASS_CAP_FRAC * diag
         outs1 = _traverse_sorted(o, d, jnp.minimum(mt, cap), n, cbvh,
@@ -535,8 +544,7 @@ def cluster_closest_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t=FLT_MAX,
         outs2 = jnp.take(outs2, inv2, axis=0)
         outs = jnp.where(missed[:, None], outs2, outs1)
     else:
-        mt1 = mt if inv is not None else mt
-        outs = _traverse_sorted(o, d, mt1, n, cbvh, interpret)
+        outs = _traverse_sorted(o, d, mt, n, cbvh, interpret)
 
     # name the kernel outputs so a remat'd caller can save them instead of
     # re-running the traversal in the backward sweep

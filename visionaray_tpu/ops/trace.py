@@ -171,6 +171,89 @@ def intersect_planes_brute(ray: Ray, normal, offset, geom_ids,
     )
 
 
+_FILTER_RETRACE_CAP = 16  # matches the reference's multi_hit N<=16 bound
+
+
+def _cluster_closest_filtered(ray: Ray, cbvh, mesh, hit_filter,
+                              interpret: bool) -> HitRecord:
+    """Closest SURVIVING hit on the Pallas tier.
+
+    The kernel has no per-leaf filter hook (filtering inside the consensus
+    loop would put a user callable on the scalar/vector sync path), so the
+    reference's in-traversal rejection (intersector.h:24, the alpha-mask
+    example main.cpp:256-330) is recovered by iterative fall-through: trace,
+    ask the filter about the winner, and for rejected winners re-trace from
+    just past the rejected hit (excluding that primitive, so coplanar or
+    zero-distance repeats cannot livelock).  Lanes already resolved carry
+    max_t = -1 and retire on their tile's first frustum test.
+    """
+    from visionaray_tpu.ops.pallas.traverse import cluster_closest_hit
+
+    batch = ray.batch_shape
+    sg = jax.lax.stop_gradient
+    # the search loop is discrete (and lax.while_loop is not reverse-mode
+    # differentiable): run it fully detached, then recompute t/u/v at the
+    # winning primitive differentiably below — the same recompute pattern
+    # as bvh_closest_hit
+    sray = Ray(ori=sg(ray.ori), dir=sg(ray.dir))
+
+    def trace(t0, excl, live):
+        o = sray.ori + sray.dir * t0[..., None]
+        mt = jnp.where(live, FLT_MAX, -1.0)
+        hr = cluster_closest_hit(Ray(ori=o, dir=sray.dir), cbvh, mesh,
+                                 max_t=mt, interpret=interpret)
+        # exclude the previously rejected primitive explicitly
+        same = hr.hit & (hr.prim_id == excl)
+        return HitRecord(hit=hr.hit & ~same,
+                         t=jnp.where(same, FLT_MAX, hr.t),
+                         prim_id=hr.prim_id, geom_id=hr.geom_id,
+                         u=hr.u, v=hr.v), same
+
+    def step(state):
+        best, t0, excl, unresolved, k = state
+        hr, same = trace(t0, excl, unresolved)
+        # `same` re-hit of the excluded prim: advance past it and continue
+        keep = hit_filter(hr.prim_id, hr.t + t0, hr.u, hr.v, hr.hit)
+        accept = unresolved & hr.hit & keep
+        rejected = unresolved & ((hr.hit & ~keep) | same)
+        # re-hit of the excluded prim at t>=0 means the nudge didn't clear
+        # the surface numerically; escalate the advance each round
+        adv_t = jnp.where(same, jnp.maximum(t0 * 1e-5, 1e-6), hr.t)
+        new_best = HitRecord(
+            hit=jnp.where(accept, True, best.hit),
+            t=jnp.where(accept, hr.t + t0, best.t),
+            prim_id=jnp.where(accept, hr.prim_id, best.prim_id),
+            geom_id=jnp.where(accept, hr.geom_id, best.geom_id),
+            u=jnp.where(accept, hr.u, best.u),
+            v=jnp.where(accept, hr.v, best.v))
+        # nudge past the rejected hit; prim exclusion handles the exact-0 case
+        t0 = jnp.where(rejected, t0 + adv_t * (1.0 + 1e-5) + 1e-7, t0)
+        excl = jnp.where(rejected, hr.prim_id, -1)
+        return new_best, t0, excl, rejected, k + 1
+
+    init = (HitRecord.none(batch), jnp.zeros(batch, jnp.float32),
+            jnp.full(batch, -1, jnp.int32), jnp.ones(batch, jnp.bool_),
+            jnp.int32(0))
+    best, _, _, _, _ = jax.lax.while_loop(
+        lambda s: jnp.any(s[3]) & (s[4] < _FILTER_RETRACE_CAP), step, init)
+
+    # differentiable recompute at the winning primitive (original ray)
+    pid = jnp.where(best.hit, best.prim_id, 0)
+    v1, e1, e2 = mesh.corners()
+    t, u, v, _ = intersect_triangle(
+        ray.ori, ray.dir,
+        jnp.take(v1, pid, axis=0), jnp.take(e1, pid, axis=0),
+        jnp.take(e2, pid, axis=0))
+    return HitRecord(
+        hit=best.hit,
+        t=jnp.where(best.hit, t, FLT_MAX),
+        prim_id=pid.astype(jnp.int32),
+        geom_id=jnp.take(mesh.geom_ids, pid),
+        u=jnp.where(best.hit, u, 0.0),
+        v=jnp.where(best.hit, v, 0.0),
+    )
+
+
 def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None,
                 hit_filter=None) -> HitRecord:
     """Closest-hit query over the whole scene (traverse_linear.inl:286-318).
@@ -183,16 +266,16 @@ def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None,
         if use_bvh is None:
             use_bvh = scene.bvh is not None
         if use_bvh and _is_cluster_bvh(scene.bvh):
-            # Pallas fast path (hit_filter applies post-hoc to the winner
-            # only; full in-traversal filtering stays on the jnp tier)
             from visionaray_tpu.ops.pallas.traverse import cluster_closest_hit
-            hr = cluster_closest_hit(ray, scene.bvh, scene.mesh,
-                                     interpret=_interpret_default())
             if hit_filter is not None:
-                keep = hit_filter(hr.prim_id, hr.t, hr.u, hr.v, hr.hit)
-                hr = HitRecord(hit=keep, t=jnp.where(keep, hr.t, FLT_MAX),
-                               prim_id=hr.prim_id, geom_id=hr.geom_id,
-                               u=hr.u, v=hr.v)
+                # a filtered-out winner falls through to the NEXT hit
+                # (reference in-traversal rejection semantics)
+                hr = _cluster_closest_filtered(ray, scene.bvh, scene.mesh,
+                                               hit_filter,
+                                               _interpret_default())
+            else:
+                hr = cluster_closest_hit(ray, scene.bvh, scene.mesh,
+                                         interpret=_interpret_default())
         elif use_bvh:
             from visionaray_tpu.ops.traversal import bvh_closest_hit
             hr = bvh_closest_hit(ray, scene.bvh, scene.mesh,
@@ -261,24 +344,89 @@ def any_hit(ray: Ray, scene, max_t, use_bvh: Optional[bool] = None,
     return best
 
 
-def multi_hit(ray: Ray, scene, k: int = 16) -> HitRecord:
+def _cluster_multi_hit(ray: Ray, cbvh, mesh, k: int, interpret: bool):
+    """Top-K triangle hits on the Pallas tier by iterative re-trace.
+
+    K sequential closest-hit kernel launches, each starting just past the
+    previous winner with that primitive excluded.  Surfaces coincident
+    within the advance epsilon beyond the first are skipped (the jnp-tier
+    bvh_multi_hit reports all of them); lanes that ran out of hits carry
+    max_t = -1 and retire on their tile's first frustum test.
+
+    Returns (t, hit, prim_id, geom_id, u, v) each (..., K), t-sorted by
+    construction, differentiable by recompute.
+    """
+    from visionaray_tpu.ops.pallas.traverse import cluster_closest_hit
+
+    sg = jax.lax.stop_gradient
+    sray = Ray(ori=sg(ray.ori), dir=sg(ray.dir))
+    batch = ray.batch_shape
+
+    def slot(carry, _):
+        t0, excl, live = carry
+        o = sray.ori + sray.dir * t0[..., None]
+        mt = jnp.where(live, FLT_MAX, -1.0)
+        hr = cluster_closest_hit(Ray(ori=o, dir=sray.dir), cbvh, mesh,
+                                 max_t=mt, interpret=interpret)
+        ok = live & hr.hit & ~(hr.prim_id == excl)
+        t_global = jnp.where(ok, hr.t + t0, FLT_MAX)
+        new_t0 = jnp.where(ok, t0 + hr.t * (1.0 + 1e-6) + 1e-7, t0)
+        return ((new_t0, jnp.where(ok, hr.prim_id, -1), ok),
+                (t_global, ok, hr.prim_id))
+
+    init = (jnp.zeros(batch, jnp.float32), jnp.full(batch, -1, jnp.int32),
+            jnp.ones(batch, jnp.bool_))
+    _, (t_k, hit_k, pid_k) = jax.lax.scan(slot, init, None, length=k)
+    # scan stacks the K axis in front; move it to the back
+    perm = tuple(range(1, 1 + len(batch))) + (0,)
+    t_k = jnp.transpose(t_k, perm)
+    hit_k = jnp.transpose(hit_k, perm)
+    pid_k = jnp.transpose(pid_k, perm)
+
+    pid = jnp.where(hit_k, pid_k, 0)
+    v1, e1, e2 = mesh.corners()
+    t, u, v, _ = intersect_triangle(
+        ray.ori[..., None, :], ray.dir[..., None, :],
+        jnp.take(v1, pid, axis=0), jnp.take(e1, pid, axis=0),
+        jnp.take(e2, pid, axis=0))
+    return (jnp.where(hit_k, t, FLT_MAX), hit_k, pid.astype(jnp.int32),
+            jnp.take(mesh.geom_ids, pid), jnp.where(hit_k, u, 0.0),
+            jnp.where(hit_k, v, 0.0))
+
+
+def multi_hit(ray: Ray, scene, k: int = 16,
+              use_bvh: Optional[bool] = None) -> HitRecord:
     """Top-K nearest hits per ray, sorted by t (multi_hit.h:32-58; N<=16).
 
     Returns a HitRecord whose fields have a trailing K axis; unused slots
-    have hit=False, t=FLT_MAX.  jnp tier: brute force + top_k.  Used by the
-    transparency-compositing example (examples/multi_hit/main.cpp:186).
+    have hit=False, t=FLT_MAX.  Triangles go through the BVH when built
+    (sorted-K insertion during traversal, traverse_linear.inl:333-380) or
+    K re-traces on the Pallas tier; spheres/planes are swept linearly and
+    merged by a final top-K.  Used by the transparency-compositing example
+    (examples/multi_hit/main.cpp:186).
     """
     groups = []  # (t, hit, prim_id, geom_id, u, v) each (..., M_g)
     offset = 0
     if scene.mesh is not None:
-        v1, e1, e2 = scene.mesh.corners()
-        o = ray.ori[..., None, :]
-        d = ray.dir[..., None, :]
-        t, u, v, hit = intersect_triangle(o, d, v1, e1, e2)
-        pid = jnp.broadcast_to(jnp.arange(v1.shape[0], dtype=jnp.int32),
-                               t.shape)
-        gid = jnp.broadcast_to(scene.mesh.geom_ids, t.shape)
-        groups.append((t, hit, pid + offset, gid, u, v))
+        if use_bvh is None:
+            use_bvh = scene.bvh is not None
+        if use_bvh and _is_cluster_bvh(scene.bvh):
+            groups.append(_cluster_multi_hit(ray, scene.bvh, scene.mesh, k,
+                                             _interpret_default()))
+        elif use_bvh:
+            from visionaray_tpu.ops.traversal import bvh_multi_hit
+            rec = bvh_multi_hit(ray, scene.bvh, scene.mesh, k)
+            groups.append((rec.t, rec.hit, rec.prim_id, rec.geom_id,
+                           rec.u, rec.v))
+        else:
+            v1, e1, e2 = scene.mesh.corners()
+            o = ray.ori[..., None, :]
+            d = ray.dir[..., None, :]
+            t, u, v, hit = intersect_triangle(o, d, v1, e1, e2)
+            pid = jnp.broadcast_to(
+                jnp.arange(v1.shape[0], dtype=jnp.int32), t.shape)
+            gid = jnp.broadcast_to(scene.mesh.geom_ids, t.shape)
+            groups.append((t, hit, pid + offset, gid, u, v))
         offset += scene.num_triangles
     if scene.spheres is not None:
         o = ray.ori[..., None, :]

@@ -23,6 +23,10 @@ import jax.numpy as jnp
 from visionaray_tpu.core.types import FLT_MAX, HitRecord, Ray
 from visionaray_tpu.ops.intersect import intersect_aabb, intersect_triangle
 
+# Provably sufficient for any input (not a heuristic clamp): Karras radix
+# tree depth <= 30 morton-prefix values + 32 index-tiebreak values + root
+# = 63 (see ops/pallas/traverse.py STACK_DEPTH note and
+# tests/test_lbvh.py::test_degenerate_layout_stack_bound).
 STACK_DEPTH = 64
 
 
@@ -146,6 +150,127 @@ def bvh_closest_hit(ray: Ray, bvh, mesh, max_t=FLT_MAX,
     v1, e1, e2 = mesh.corners()
     t, u, v, _ = intersect_triangle(
         ray.ori, ray.dir,
+        jnp.take(v1, pid, axis=0), jnp.take(e1, pid, axis=0),
+        jnp.take(e2, pid, axis=0))
+    return HitRecord(
+        hit=hit,
+        t=jnp.where(hit, t, FLT_MAX),
+        prim_id=jnp.where(hit, pid, 0).astype(jnp.int32),
+        geom_id=jnp.take(mesh.geom_ids, jnp.where(hit, pid, 0)),
+        u=jnp.where(hit, u, 0.0),
+        v=jnp.where(hit, v, 0.0),
+    )
+
+
+def _traverse_one_multi(o, d, node_lo, node_hi, left, right, tri_v1, tri_e1,
+                        tri_e2, prim_ids, max_t, k: int, hit_filter=None):
+    """Single-ray multi-hit traversal keeping a sorted K-array of hits.
+
+    The reference's multi_hit traversal (traverse_linear.inl:333-380) with
+    update_if = insert_sorted (detail/multi_hit.h:159-204): every leaf hit
+    inserts into a t-sorted array of K records, and node culling tests
+    tnear against the CURRENT WORST kept t (the array's last slot) instead
+    of the single best — the array itself is the occlusion bound.
+
+    Returns (ts (K,), leaves (K,)) with FLT_MAX / -1 in unused slots.
+    """
+    n = prim_ids.shape[0]
+    leaf_base = n - 1
+    inv_d = 1.0 / d
+    idx_k = jnp.arange(k)
+
+    stack = jnp.zeros((STACK_DEPTH,), jnp.int32)
+    ts0 = jnp.full((k,), jnp.float32(max_t))
+    ls0 = jnp.full((k,), -1, jnp.int32)
+    root = jnp.int32(0 if n > 1 else leaf_base)
+    state = (root, jnp.int32(0), stack, ts0, ls0, jnp.bool_(False))
+
+    def insert_sorted(ts, ls, t, leaf, do):
+        pos = jnp.sum((t >= ts).astype(jnp.int32))
+        take = do & (pos < k)
+        ts_shift = ts[jnp.maximum(idx_k - 1, 0)]
+        new_ts = jnp.where(idx_k < pos, ts,
+                           jnp.where(idx_k == pos, t, ts_shift))
+        ls_shift = ls[jnp.maximum(idx_k - 1, 0)]
+        new_ls = jnp.where(idx_k < pos, ls,
+                           jnp.where(idx_k == pos, leaf, ls_shift))
+        return (jnp.where(take, new_ts, ts), jnp.where(take, new_ls, ls))
+
+    def cond(s):
+        return ~s[5]
+
+    def body(s):
+        node, sp, stack, ts, ls, done = s
+        is_leaf = node >= leaf_base
+
+        sorted_idx = jnp.maximum(node - leaf_base, 0)
+        pid = prim_ids[sorted_idx]
+        t, u, v, hit = intersect_triangle(
+            o, d, tri_v1[pid], tri_e1[pid], tri_e2[pid])
+        if hit_filter is not None:
+            hit = hit_filter(pid, t, u, v, hit)
+        do = is_leaf & hit & (t >= 0.0) & (t < ts[k - 1])
+        ts, ls = insert_sorted(ts, ls, t, sorted_idx, do)
+
+        worst = ts[k - 1]
+        lc = left[jnp.minimum(node, leaf_base - 1)]
+        rc = right[jnp.minimum(node, leaf_base - 1)]
+        tn1, tf1, h1 = intersect_aabb(o, inv_d, node_lo[lc], node_hi[lc])
+        tn2, tf2, h2 = intersect_aabb(o, inv_d, node_lo[rc], node_hi[rc])
+        b1 = (~is_leaf) & h1 & (tn1 < worst) & (tf1 >= 0.0)
+        b2 = (~is_leaf) & h2 & (tn2 < worst) & (tf2 >= 0.0)
+
+        both = b1 & b2
+        near_is_l = tn1 < tn2
+        near = jnp.where(near_is_l, lc, rc)
+        far = jnp.where(near_is_l, rc, lc)
+        stack = jax.lax.cond(
+            both, lambda st: st.at[jnp.minimum(sp, STACK_DEPTH - 1)].set(far),
+            lambda st: st, stack)
+        sp_after_push = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        next_node = jnp.where(
+            both, near, jnp.where(b1, lc, jnp.where(b2, rc, -1)))
+
+        need_pop = is_leaf | (next_node < 0)
+        can_pop = sp_after_push > 0
+        popped = stack[jnp.maximum(sp_after_push - 1, 0)]
+        new_node = jnp.where(need_pop, jnp.where(can_pop, popped, 0),
+                             next_node)
+        new_sp = jnp.where(need_pop & can_pop, sp_after_push - 1,
+                           sp_after_push)
+        new_done = done | (need_pop & ~can_pop)
+        return (new_node, new_sp, stack, ts, ls, new_done)
+
+    _, _, _, ts, ls, _ = jax.lax.while_loop(cond, body, state)
+    return jnp.where(ls >= 0, ts, FLT_MAX), ls
+
+
+def bvh_multi_hit(ray: Ray, bvh, mesh, k: int, max_t=FLT_MAX,
+                  hit_filter=None) -> HitRecord:
+    """Top-K nearest triangle hits through the BVH, sorted by t.
+
+    Fields carry a trailing K axis; unused slots have hit=False, t=FLT_MAX.
+    Differentiable by recompute at each recorded primitive.
+    """
+    sg = jax.lax.stop_gradient
+    v1, e1, e2 = mesh.corners()
+    f = partial(_traverse_one_multi,
+                node_lo=sg(bvh.node_lo), node_hi=sg(bvh.node_hi),
+                left=bvh.left, right=bvh.right,
+                tri_v1=sg(v1), tri_e1=sg(e1), tri_e2=sg(e2),
+                prim_ids=bvh.prim_ids, k=k, hit_filter=hit_filter)
+    o = sg(ray.ori).reshape(-1, 3)
+    d = sg(ray.dir).reshape(-1, 3)
+    mt = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32),
+                          o.shape[:1]).reshape(-1)
+    ts, leaves = jax.vmap(lambda oo, dd, m: f(oo, dd, max_t=m))(o, d, mt)
+    bs = ray.batch_shape
+    leaves = leaves.reshape(bs + (k,))
+    hit = leaves >= 0
+    pid = jnp.take(bvh.prim_ids, jnp.maximum(leaves, 0))
+    # differentiable recompute at each of the K recorded primitives
+    t, u, v, _ = intersect_triangle(
+        ray.ori[..., None, :], ray.dir[..., None, :],
         jnp.take(v1, pid, axis=0), jnp.take(e1, pid, axis=0),
         jnp.take(e2, pid, axis=0))
     return HitRecord(

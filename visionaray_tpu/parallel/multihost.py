@@ -53,11 +53,14 @@ def initialize(coordinator_address: Optional[str] = None,
         except Exception:
             return jax.process_count() > 1
         return jax.process_count() > 1
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None:  # NOT `or`: process_id=0 is a valid explicit arg
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     jax.distributed.initialize(
         coordinator_address=addr,
-        num_processes=num_processes
-        or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        num_processes=num_processes,
+        process_id=process_id,
     )
     return jax.process_count() > 1
 
@@ -79,9 +82,27 @@ def make_global_pixel_array(x_local, mesh: Mesh):
     return jax.make_array_from_process_local_data(sharding, x_local)
 
 
+def padded_global_size(n_global: int) -> int:
+    """n_global rounded up so every process holds an equal-shaped shard.
+
+    make_array_from_process_local_data with P(TILE_AXIS) requires identical
+    process-local shapes; callers pad the pixel/ray arrays to this size
+    (mirroring the tile padding in tile_sharding.py) and slice the results
+    back to n_global.
+    """
+    pc = jax.process_count()
+    return -(-n_global // pc) * pc
+
+
 def local_slice(n_global: int) -> slice:
-    """This process's contiguous range of the flat pixel/ray index space."""
+    """This process's contiguous range of the PADDED flat index space.
+
+    Always length padded_global_size(n)//process_count — the tail process's
+    range may extend past n_global; those indices are padding the caller
+    must mask (clamped pixel ids render harmlessly and are dropped on
+    unpad).
+    """
     pc = jax.process_count()
     pid = jax.process_index()
-    per = -(-n_global // pc)
-    return slice(pid * per, min((pid + 1) * per, n_global))
+    per = padded_global_size(n_global) // pc
+    return slice(pid * per, (pid + 1) * per)

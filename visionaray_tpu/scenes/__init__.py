@@ -13,8 +13,9 @@ from visionaray_tpu.scenes.basic import (
 )
 from visionaray_tpu.scenes.teapot import teapot_scene, teapot_mesh
 from visionaray_tpu.scenes.sponza_like import sponza_like_scene
+from visionaray_tpu.scenes.volume_demo import volume_scene
 
 __all__ = [
     "tri_sphere_plane", "cornell_box", "random_triangles",
-    "teapot_scene", "teapot_mesh", "sponza_like_scene",
+    "teapot_scene", "teapot_mesh", "sponza_like_scene", "volume_scene",
 ]

@@ -29,9 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from visionaray_tpu.core.types import pytree_dataclass, replace
+from visionaray_tpu.kernels.ao import ao_kernel
 from visionaray_tpu.kernels.params import KernelParams
 from visionaray_tpu.kernels.pathtracing import pathtracing_kernel
 from visionaray_tpu.kernels.simple import simple_kernel
+from visionaray_tpu.kernels.volume import volume_kernel
 from visionaray_tpu.kernels.whitted import whitted_kernel
 from visionaray_tpu.ops.sampling import Sampler, pcg_hash
 
@@ -39,6 +41,8 @@ KERNELS = {
     "simple": simple_kernel,
     "whitted": whitted_kernel,
     "pathtracing": pathtracing_kernel,
+    "ao": ao_kernel,
+    "volume": volume_kernel,
 }
 
 # SSAA sample offset tables (reference detail/sched_common.h:222-295).
@@ -50,6 +54,26 @@ SSAA_OFFSETS = {
         (-0.0625, -0.4375), (0.0625, 0.4375), (0.1875, -0.3125),
         (0.3125, 0.1875), (0.4375, -0.0625)],
 }
+
+
+def _ssaa_offsets(spp: int):
+    """Offset table for any spp: reference tables for 1/2/4/8 (the only
+    widths the reference instantiates, sched_common.h:222-295); a rotated
+    low-discrepancy (i/N, radical-inverse-2) lattice otherwise — previously
+    spp not in {1,2,4,8} silently rendered every sample at the pixel
+    center."""
+    if spp in SSAA_OFFSETS:
+        return SSAA_OFFSETS[spp]
+
+    def rad2(i: int) -> float:
+        x, f = 0.0, 0.5
+        while i:
+            x += f * (i & 1)
+            i >>= 1
+            f *= 0.5
+        return x
+
+    return [((i + 0.5) / spp - 0.5, rad2(i) - 0.5) for i in range(spp)]
 
 
 @pytree_dataclass(static=("width", "height"))
@@ -98,9 +122,7 @@ def render_pixels(params: KernelParams, cam, x, y, width, height,
     """
     kernel = KERNELS[algo]
     pixel_id = (y.astype(jnp.uint32) * np.uint32(width) + x.astype(jnp.uint32))
-    ssaa_table = jnp.asarray(
-        SSAA_OFFSETS.get(spp, SSAA_OFFSETS[1]) * (1 if spp in SSAA_OFFSETS
-                                                  else spp), jnp.float32)
+    ssaa_table = jnp.asarray(_ssaa_offsets(spp), jnp.float32)
 
     def sample_body(s, acc):
         color, depth = acc
@@ -186,7 +208,10 @@ def render(scene, cam, width: int, height: int, algo: str = "simple",
         ambient = (1.0, 1.0, 1.0, 1.0) if algo == "pathtracing" \
             else (0.0, 0.0, 0.0, 0.0)
     if pixel_sampler is None:
-        pixel_sampler = "jittered_blend" if algo == "pathtracing" else "uniform"
+        # PT and AO are progressive monte-carlo kernels (the reference AO
+        # example also runs jittered_blend, examples/ao/main.cpp:183-240)
+        pixel_sampler = ("jittered_blend"
+                         if algo in ("pathtracing", "ao") else "uniform")
     if epsilon is None:
         bbox = scene.bbox()
         diag = float(jnp.linalg.norm(bbox.hi - bbox.lo))

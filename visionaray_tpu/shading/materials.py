@@ -228,5 +228,12 @@ class Materials:
     def is_emissive(self):
         return self.mtype == MaterialType.EMISSIVE
 
+    def is_specular(self):
+        """Delta-BSDF types (mirror): sample() picks one exact direction and
+        shade() returns 0 for any other (brdf.h:177-185), so NEE cannot see
+        light through them — the path tracer lets the emissive term through
+        after a specular bounce instead (the standard NEE delta exception)."""
+        return self.mtype == MaterialType.MIRROR
+
 
 _VEC_FIELDS = {"ca", "cd", "cs", "cr", "ior", "absorption", "ce"}

@@ -92,5 +92,14 @@ def get_surface(hit: HitRecord, ray: Ray, scene) -> Surface:
         shade_n = jnp.where(is_pl, pl_n, shade_n)
 
     mats = scene.materials.take(hit.geom_id)
+    if scene.textures is not None:
+        # the reference multiplies sr.tex_color into every diffuse/emissive
+        # term inside the material impls (matte.inl:64,141, plastic.inl:
+        # 62,182, emissive.inl:89, carried via surface.h:82,90); folding it
+        # into the gathered per-ray material rows gives the same algebra to
+        # shade(), sample() and NEE in one place
+        import dataclasses
+        mats = dataclasses.replace(mats, cd=mats.cd * tex_color,
+                                   ce=mats.ce * tex_color)
     return Surface(geometric_normal=geom_n, shading_normal=shade_n,
                    tex_color=tex_color, materials=mats)
