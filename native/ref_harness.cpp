@@ -255,10 +255,13 @@ static int bench_main(SceneData& s, unsigned bounces, int frames)
     for (auto const& t : s.triangles)
         normals.push_back(normalize(cross(t.e1, t.e2)));
 
+    std::fprintf(stderr, "loaded %zu tris\n", s.triangles.size());
     auto t_build0 = std::chrono::high_resolution_clock::now();
     auto bvh = build<bvh_t>(s.triangles.data(), s.triangles.size());
     auto t_build1 = std::chrono::high_resolution_clock::now();
     double build_s = std::chrono::duration<double>(t_build1 - t_build0).count();
+    std::fprintf(stderr, "built bvh in %.2fs (%zu nodes)\n", build_s,
+                 bvh.num_nodes());
 
     auto bvh_ref = bvh.ref();
     auto kparams = make_kernel_params(

@@ -30,6 +30,9 @@ def build_scene(name: str, args):
         if key in ("cornell", "cornell_box"):
             from visionaray_tpu.scenes import cornell_box
             return cornell_box()
+        if key == "cornell_spectral":
+            from visionaray_tpu.scenes import cornell_box_spectral
+            return cornell_box_spectral()
         if key == "teapot":
             from visionaray_tpu.scenes import teapot_scene
             return teapot_scene(build_bvh=not args.no_bvh)
@@ -76,6 +79,9 @@ def main(argv=None):
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation for pathtracing (soft "
                         "shadows / direct light sampling)")
+    p.add_argument("--spectral", type=int, default=0, metavar="N",
+                   help="spectral pathtracing with N wavelength samples "
+                        "(VSNRAY_SPECTRUM_RGB off; 0 = RGB mode)")
     p.add_argument("--tile-size", type=int, default=0)
     p.add_argument("--target-tris", type=int, default=260_000)
     p.add_argument("--benchmark", action="store_true",
@@ -128,7 +134,8 @@ def main(argv=None):
         rt = render(scene, cam, args.width, args.height,
                     algo=args.algorithm, spp=args.spp, bounces=args.bounces,
                     ambient=ambient, frame_num=frame,
-                    tile_size=args.tile_size, rt=rt, nee=args.nee)
+                    tile_size=args.tile_size, rt=rt, nee=args.nee,
+                    spectral=args.spectral)
     rt.color.block_until_ready()
     elapsed = time.perf_counter() - t_start
 
@@ -149,7 +156,7 @@ def main(argv=None):
                         algo=args.algorithm, spp=args.spp,
                         bounces=args.bounces, ambient=ambient,
                         frame_num=frame, tile_size=args.tile_size, rt=rt,
-                        nee=args.nee)
+                        nee=args.nee, spectral=args.spectral)
         rt.color.block_until_ready()
         dt = (time.perf_counter() - t0) / reps
         bounces = args.bounces or (10 if args.algorithm == "pathtracing" else 4)

@@ -14,9 +14,6 @@ import pytest
 
 from visionaray_tpu.core.types import Ray
 from visionaray_tpu.kernels.params import KernelParams
-from visionaray_tpu.parallel.ring import (
-    geometry_sharded_closest_hit, shard_mesh,
-)
 from visionaray_tpu.parallel.tile_sharding import (
     make_mesh, render_image_sharded,
 )
@@ -64,75 +61,5 @@ def test_tile_sharded_pt_deterministic_vs_single(mesh8):
                                atol=5e-3, rtol=2e-3)
 
 
-class TestGeometrySharding:
-    @pytest.fixture(scope="class")
-    def setup(self, mesh8):
-        from visionaray_tpu.core.scene import TriangleMesh
-        verts, faces = random_triangles(64, seed=2, extent=3.0, tri_size=0.8)
-        tm = TriangleMesh.create(verts, faces,
-                                 geom_ids=np.arange(64, dtype=np.int32) % 5)
-        sharded = shard_mesh(tm, 8)
-        n = 128  # rays, divisible by 8
-        rng = np.random.default_rng(3)
-        o = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
-                      np.full(n, -8.0)], -1).astype(np.float32)
-        d = np.zeros_like(o)
-        d[:, 2] = 1.0
-        d += rng.standard_normal(o.shape).astype(np.float32) * 0.05
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        ray = Ray(jnp.asarray(o), jnp.asarray(d))
-        return tm, sharded, ray
-
-    def test_matches_unsharded(self, setup, mesh8):
-        tm, sharded, ray = setup
-        from visionaray_tpu.ops.trace import intersect_triangles_brute
-        v1, e1, e2 = tm.corners()
-        ref = intersect_triangles_brute(ray, v1, e1, e2, tm.geom_ids)
-        got = geometry_sharded_closest_hit(ray, sharded, mesh8)
-        np.testing.assert_array_equal(np.asarray(got.hit),
-                                      np.asarray(ref.hit))
-        m = np.asarray(ref.hit)
-        np.testing.assert_allclose(np.asarray(got.t)[m],
-                                   np.asarray(ref.t)[m], rtol=1e-5)
-        # prim ids: sharded ids are per-shard-padded; map back to global
-        per = sharded.faces.shape[1]
-        got_pid = np.asarray(got.prim_id)[m]
-        shard = got_pid // per
-        local = got_pid % per
-        global_pid = shard * per + local  # identity — faces not permuted
-        # verify geometry equivalence instead of raw id equality
-        fv = np.asarray(sharded.faces).reshape(-1, 3)[global_pid]
-        ref_fv = np.asarray(tm.faces)[np.asarray(ref.prim_id)[m]]
-        np.testing.assert_array_equal(fv, ref_fv)
-
-    def test_vertex_grads_flow(self, setup, mesh8):
-        tm, sharded, ray = setup
-
-        def loss(verts):
-            sm = dataclasses.replace(
-                sharded,
-                vertices=jnp.broadcast_to(verts, sharded.vertices.shape))
-            hr = geometry_sharded_closest_hit(ray, sm, mesh8)
-            return jnp.sum(jnp.where(hr.hit, hr.t, 0.0))
-
-        g = jax.grad(loss)(tm.vertices)
-        assert np.isfinite(np.asarray(g)).all()
-        assert np.abs(np.asarray(g)).sum() > 0
-
-        # must equal the unsharded recompute gradient
-        from visionaray_tpu.ops.trace import intersect_triangles_brute
-
-        def loss_ref(verts):
-            m2 = dataclasses.replace(tm, vertices=verts)
-            v1, e1, e2 = m2.corners()
-            hr = intersect_triangles_brute(ray, v1, e1, e2, m2.geom_ids)
-            return jnp.sum(jnp.where(hr.hit, hr.t, 0.0))
-
-        g_ref = jax.grad(loss_ref)(tm.vertices)
-        # closest-hit ties are broken by shard visit order in the ring vs
-        # primitive index order unsharded; a ray whose two candidate hits
-        # share t contributes its grad to a different (equally valid)
-        # triangle.  Require elementwise agreement on >= 97% of entries.
-        a, b = np.asarray(g), np.asarray(g_ref)
-        close = np.isclose(a, b, rtol=1e-4, atol=1e-6)
-        assert close.mean() > 0.97, f"only {close.mean():.3f} match"
+# Geometry sharding moved to tests/test_geometry_sharding.py (round 2:
+# spatially partitioned shards with local buffers + per-shard accel).

@@ -43,7 +43,8 @@ from visionaray_tpu.shading.lights import AreaLights, light_groups
 from visionaray_tpu.shading.surface import get_surface
 
 
-def _nee_direct(scene, surf, n, view_dir, isect_pos, eps, ua, ub, ul):
+def _nee_direct(scene, surf, n, view_dir, isect_pos, eps, ua, ub, ul,
+                binned=False):
     """One-sample next-event estimate of the direct term at isect_pos.
 
     Uniform light pick (pdf 1/total); area lights integrate over their
@@ -52,15 +53,16 @@ def _nee_direct(scene, surf, n, view_dir, isect_pos, eps, ua, ub, ul):
     point/spot lights are delta lights whose intensity() already includes
     attenuation.
     """
+    nc = scene.materials.cd.shape[-1]  # 3 = RGB, N = spectral mode
     groups = light_groups(scene.lights)
     total = sum(g.num_lights for g in groups)
     if total == 0:
-        return jnp.zeros(isect_pos.shape[:-1] + (3,), jnp.float32)
+        return jnp.zeros(isect_pos.shape[:-1] + (nc,), jnp.float32)
 
     batch = isect_pos.shape[:-1]
     sel_idx = jnp.minimum((ul * total).astype(jnp.int32), total - 1)
     P = jnp.zeros(batch + (3,), jnp.float32)
-    I = jnp.zeros(batch + (3,), jnp.float32)
+    I = jnp.zeros(batch + (nc,), jnp.float32)
     g = jnp.ones(batch, jnp.float32)
     idx = 0
     for lights in groups:
@@ -89,7 +91,7 @@ def _nee_direct(scene, surf, n, view_dir, isect_pos, eps, ua, ub, ul):
     dist = length(to_light)
     wi = to_light / jnp.maximum(dist, 1e-12)[..., None]
     shadow = any_hit(Ray(ori=isect_pos + wi * eps, dir=wi),
-                     scene, max_t=dist - 2.0 * eps)
+                     scene, max_t=dist - 2.0 * eps, binned=binned)
     visible = ~shadow.hit
     direct = surf.materials.shade(n, view_dir, wi, I)
     return direct * (g * visible * float(total))[..., None]
@@ -99,13 +101,29 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
                        sampler: Sampler, nee: bool = False) -> ResultRecord:
     scene = params.scene
     eps = params.epsilon
-    amb3 = params.ambient_color[:3]
     batch = ray.batch_shape
+    # spectral mode (spectrum.lift_scene): all color algebra below is
+    # channel-count agnostic; nc follows the material table
+    nc = scene.materials.cd.shape[-1]
+    amb3 = params.ambient_color[:3]
+    if nc != 3:
+        from visionaray_tpu.shading.spectrum import from_rgb
+        amb3 = from_rgb(amb3, nc)
+    # treelet-built ClusterBVH: bounce 0 (coherent camera rays) runs the
+    # global consensus traversal, bounces >= 1 (incoherent) run treelet-
+    # binned — the two regimes differ 10-60x in Mrays/s (docs/PERF.md)
+    has_treelets = scene.bvh is not None and \
+        getattr(scene.bvh, "treelet_size", 0) > 0
 
-    def bounce_body(carry, bounce):
+    def make_bounce_body(binned):
+        def bounce_body(carry, bounce):
+            return _bounce_step(params, carry, bounce, nee, binned)
+        return bounce_body
+
+    def _bounce_step(params, carry, bounce, nee, binned):
         (ray, sampler, active, dst, acc, first_hit, first_t,
          prev_delta) = carry
-        hit_rec = closest_hit(ray, scene)
+        hit_rec = closest_hit(ray, scene, binned=binned)
 
         exited = active & ~hit_rec.hit
         if nee:
@@ -134,7 +152,7 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
         if nee:
             isect_pos0 = ray.at(jnp.where(hit_rec.hit, hit_rec.t, 1.0))
             direct = _nee_direct(scene, surf, n, view_dir, isect_pos0,
-                                 eps, ua, ub, ul)
+                                 eps, ua, ub, ul, binned=binned)
             take_d = active & ~emissive
             acc = jnp.where(take_d[..., None], acc + dst * direct, acc)
             # emissive counts on the camera ray and after a delta (specular)
@@ -167,8 +185,8 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
 
     init = (ray, sampler,
             jnp.ones(batch, jnp.bool_),
-            jnp.ones(batch + (3,), jnp.float32),
-            jnp.zeros(batch + (3,), jnp.float32),
+            jnp.ones(batch + (nc,), jnp.float32),
+            jnp.zeros(batch + (nc,), jnp.float32),
             jnp.zeros(batch, jnp.bool_),
             jnp.zeros(batch, jnp.float32),
             jnp.zeros(batch, jnp.bool_))
@@ -179,12 +197,22 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
     # of every ray blow HBM at 1080p (measured 50 GB); without the named
     # save, the backward sweep re-runs the traversal kernel itself
     # (profiled: traversal is ~96% of a training step).
-    carry, _ = jax.lax.scan(
-        jax.checkpoint(
-            bounce_body,
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "traced_hits")),
-        init, jnp.arange(params.num_bounces, dtype=jnp.int32))
+    def ckpt(f):
+        return jax.checkpoint(
+            f, policy=jax.checkpoint_policies.save_only_these_names(
+                "traced_hits"))
+
+    if has_treelets and params.num_bounces > 1:
+        # bounce 0 hoisted out of the scan so it compiles the coherent
+        # (unbinned) traversal; the scan body compiles the binned one
+        carry, _ = ckpt(make_bounce_body(False))(init, jnp.int32(0))
+        carry, _ = jax.lax.scan(
+            ckpt(make_bounce_body(True)), carry,
+            jnp.arange(1, params.num_bounces, dtype=jnp.int32))
+    else:
+        carry, _ = jax.lax.scan(
+            ckpt(make_bounce_body(False)), init,
+            jnp.arange(params.num_bounces, dtype=jnp.int32))
     _, _, active, dst, acc, first_hit, first_t, _ = carry
 
     if nee:
@@ -193,6 +221,12 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
         # paths still alive at loop end terminate to black
         # (pathtracing.inl:115)
         out = jnp.where(active[..., None], 0.0, dst)
+
+    if nc != 3:
+        # fold the accumulated spectrum through the CIE observer for
+        # display (spectrum.inl to_rgb / color_conversion.h:110-151)
+        from visionaray_tpu.shading.spectrum import to_rgb
+        out = to_rgb(out)
 
     rgba = jnp.concatenate([out, jnp.ones_like(out[..., :1])], axis=-1)
     color = jnp.where(first_hit[..., None], rgba, params.bg_color)

@@ -9,36 +9,49 @@ the traversal:
 - primitives are morton-sorted (reusing the LBVH order) and grouped into
   fixed-size clusters of K consecutive prims;
 - a *small* LBVH is built over cluster AABBs — small enough that its packed
-  node table lives entirely in VMEM;
-- a ray tile traverses the top tree in consensus (one shared stack per tile,
-  like the reference's packet traversal, bvh/intersect.inl:84-101), and for
-  each visited leaf DMAs the cluster's K triangles (contiguous in HBM
-  because of the sort) into VMEM and brute-force intersects all lanes
-  against them — dense VPU work instead of divergent pointer chasing.
+  node table lives entirely in SMEM (scalar memory);
+- a ray tile traverses the top tree in consensus (one shared interval-hull
+  frustum per tile, like the reference's packet traversal,
+  bvh/intersect.inl:84-101), and for each visited leaf DMAs the cluster's K
+  triangles (contiguous in HBM because of the sort) into SMEM and
+  brute-force intersects all lanes against them — dense VPU work instead of
+  divergent pointer chasing.
 
-This is the "ray-stream / cluster" formulation of BVH traversal (cf. the
-quantized-structures + ray-stream tracing literature in PAPERS.md).
+Treelets (``treelet_size`` > 0) — the incoherent-ray fix: the tree is built
+as a composite whose shape guarantees every run of T consecutive clusters
+(a *treelet*) is a complete subtree:
+
+    rows [0, S-1)                    top radix tree over the S treelets
+    rows [S-1, S-1 + S*(T-1))        per-treelet radix trees (T-1 rows each)
+    rows [C-1, 2C-1)                 cluster leaves (same as before)
+
+Same row count (2C-1), same kernel: entering at row 0 traverses everything
+(the coherent path); entering at a treelet's root confines the traversal to
+that treelet.  ops/pallas/traverse.py's binned path exploits this by
+re-binning bounce rays per treelet and advancing their origins to the
+treelet entry point, so each tile's interval hull covers one treelet's
+neighbourhood instead of the whole scene.  This is the ray-stream
+re-binning formulation (cf. the ray-stream tracing literature in
+PAPERS.md).
 
 Node table layout — one node per sublane row (Mosaic requires lane-dim
 slices to be 128-aligned, so the lane offset must be static):
   nodes[n, c] for c in 0..7 = [lo.x lo.y lo.z hi.x hi.y hi.z left right]
   left/right child indices are stored as float *values* (exact for < 2^24
   nodes; value-cast avoids any denormal-flush hazard a bitcast would risk).
-  Node n < C-1 is internal; n >= C-1 is the leaf of cluster n-(C-1) —
-  clusters are permuted so leaf j owns cluster j.
-  VMEM cost: lane padding makes each row 128 lanes -> 512 B/node; K=64
-  keeps the tree small (2*ceil(F/64)-1 nodes; ~4 MB at 260k tris).
+  Node n < C-1 is internal; n >= C-1 is the leaf of cluster n-(C-1).
 
 Triangle table: 16-float records, 8 per 128-lane row so a cluster is a
 fully lane-aligned HBM block (Mosaic DMA slices must be 128-aligned on the
 lane dim):  tris[c, k // 8, (k % 8)*16 + j] with record
 [v1 e1 e2 prim_id pad*6]; prim_id as a float value.  Padding prims have
-e1 = e2 = 0 -> Moller-Trumbore div == 0 -> never hit.
+e1 = e2 = 0 -> Moller-Trumbore div == 0 -> never hit.  Padding clusters
+(tail of the last treelet) have empty (+inf/-inf) boxes -> never visited.
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,8 +63,10 @@ from visionaray_tpu.ops.lbvh import (
 )
 
 DEFAULT_CLUSTER_SIZE = 32
+DEFAULT_TREELET_SIZE = 32
 _SMEM_NODE_BUDGET = 750_000   # bytes of the 1 MiB SMEM granted to the
                               # node table (traverse.py keeps it in SMEM)
+_MORTON_PAD = np.uint32((1 << 30) - 1)  # sorts padding clusters last
 
 
 def pick_cluster_size(num_prims: int) -> int:
@@ -67,12 +82,22 @@ def pick_cluster_size(num_prims: int) -> int:
     return max(k, DEFAULT_CLUSTER_SIZE) if k > DEFAULT_CLUSTER_SIZE         else DEFAULT_CLUSTER_SIZE
 
 
-@pytree_dataclass(static=("num_clusters", "cluster_size"))
+@pytree_dataclass(static=("num_clusters", "cluster_size", "treelet_size",
+                          "num_treelets"))
 class ClusterBVH:
     nodes: Any          # (2C-1, 8) f32 node table (one node per row)
     tris: Any           # (C, K//8, 128) f32: 8 x 16-float tri records per row
-    num_clusters: int
-    cluster_size: int
+    num_clusters: int   # C (padded to num_treelets * treelet_size)
+    cluster_size: int   # K
+    treelet_size: int = 0        # T; 0 = single global tree (no treelets)
+    num_treelets: int = 0        # S
+    treelet_lo: Any = None       # (S, 3) treelet AABBs (binning pass 1)
+    treelet_hi: Any = None       # (S, 3)
+    treelet_roots: Any = None    # (S,) i32 node-table rows of treelet roots
+    top_lca: Any = None          # (S, S) i32 node row of the lowest common
+                                 # ancestor of treelets [a..b] — per-tile
+                                 # start node for tiles spanning several
+                                 # adjacent treelets (binned traversal)
 
     @property
     def num_prims(self):
@@ -85,21 +110,15 @@ class ClusterBVH:
         return self.tris.reshape(C, K // 8, 8, 16).reshape(C, K, 16)
 
 
-def build_cluster_bvh(mesh, cluster_size: int = 0) -> ClusterBVH:
-    """Build the two-level structure on device (jit-compatible).
-
-    ``cluster_size`` 0 = auto (pick_cluster_size: smallest K whose node
-    table fits the SMEM budget).
-    """
-    K = cluster_size or pick_cluster_size(mesh.faces.shape[0])
-    v1, e1, e2 = mesh.corners()
+def _sorted_cluster_data(v1, e1, e2, K: int):
+    """Morton-sort prims, group into K-clusters; returns (C, tri_cols,
+    cl_lo, cl_hi, cl_codes) with clusters sorted by their own codes."""
     v1 = jax.lax.stop_gradient(v1)
     e1 = jax.lax.stop_gradient(e1)
     e2 = jax.lax.stop_gradient(e2)
     F = v1.shape[0]
     lo, hi = triangle_aabbs(v1, e1, e2)
 
-    # morton order over primitive centroids
     centroid = 0.5 * (lo + hi)
     scene_lo = jnp.min(lo, axis=0)
     scene_hi = jnp.max(hi, axis=0)
@@ -107,7 +126,6 @@ def build_cluster_bvh(mesh, cluster_size: int = 0) -> ClusterBVH:
     codes = morton3d((centroid - scene_lo) / extent)
     order = jnp.argsort(codes).astype(jnp.int32)
 
-    # pad to a multiple of K with degenerate prims (never hit)
     C = -(-F // K)
     pad = C * K - F
     gather = lambda a: jnp.take(a, order, axis=0)
@@ -126,34 +144,65 @@ def build_cluster_bvh(mesh, cluster_size: int = 0) -> ClusterBVH:
     else:
         los, his = gather(lo), gather(hi)
 
-    # cluster AABBs (empty-padded slots ignored by min/max with +-inf)
     cl_lo = jnp.min(los.reshape(C, K, 3), axis=1)
     cl_hi = jnp.max(his.reshape(C, K, 3), axis=1)
-    # guard all-padding clusters (can't happen: last cluster has >=1 real prim)
     cl_lo = jnp.where(jnp.isfinite(cl_lo), cl_lo, 0.0)
     cl_hi = jnp.where(jnp.isfinite(cl_hi), cl_hi, 0.0)
 
-    # top-level LBVH over clusters
     cl_centroid = 0.5 * (cl_lo + cl_hi)
     cl_codes = morton3d((cl_centroid - scene_lo) / extent)
     cl_order = jnp.argsort(cl_codes).astype(jnp.int32)
-    codes_sorted = jnp.take(cl_codes, cl_order)
-    left, right, _parent = build_radix_tree(codes_sorted)
-    leaf_lo = jnp.take(cl_lo, cl_order, axis=0)
-    leaf_hi = jnp.take(cl_hi, cl_order, axis=0)
-    node_lo, node_hi = refit(left, right, leaf_lo, leaf_hi)
 
-    # permute clusters so leaf j owns cluster j; pack 16-float records,
-    # 8 per 128-lane row
     assert K % 8 == 0, "cluster_size must be a multiple of 8"
     tri_cols = jnp.concatenate([
         v1s.reshape(C, K, 3), e1s.reshape(C, K, 3), e2s.reshape(C, K, 3),
         prim_ids.reshape(C, K, 1).astype(jnp.float32),
         jnp.zeros((C, K, 6), jnp.float32),
     ], axis=-1)  # (C, K, 16)
-    tris = jnp.take(tri_cols, cl_order, axis=0).reshape(C, K // 8, 128)
+    tri_cols = jnp.take(tri_cols, cl_order, axis=0)
+    cl_lo = jnp.take(cl_lo, cl_order, axis=0)
+    cl_hi = jnp.take(cl_hi, cl_order, axis=0)
+    cl_codes = jnp.take(cl_codes, cl_order)
+    return C, tri_cols, cl_lo, cl_hi, cl_codes
 
-    # node table: one node per row, 8 components in the lane dim
+
+def build_cluster_bvh(mesh, cluster_size: int = 0,
+                      treelet_size: int = 0) -> ClusterBVH:
+    """Build the cluster structure on device (jit-compatible).
+
+    ``cluster_size`` 0 = auto (pick_cluster_size: smallest K whose node
+    table fits the SMEM budget).  ``treelet_size`` T > 0 builds the
+    treelet-composite tree (see module docstring); 0 keeps one global
+    radix tree (the round-1 structure).
+    """
+    v1, e1, e2 = mesh.corners()
+    return build_cluster_bvh_from_corners(v1, e1, e2,
+                                          cluster_size=cluster_size,
+                                          treelet_size=treelet_size)
+
+
+def build_cluster_bvh_from_corners(v1, e1, e2, cluster_size: int = 0,
+                                   treelet_size: int = 0) -> ClusterBVH:
+    """build_cluster_bvh over raw (v1, e1, e2) corner arrays — the entry
+    point for per-shard soup meshes (parallel/ring.py); vmappable."""
+    K = cluster_size or pick_cluster_size(v1.shape[0])
+    # prim ids ride the kernel as f32 VALUES (exact only below 2^24);
+    # larger meshes must be geometry-sharded (parallel/ring.py) so each
+    # shard stays under the limit
+    if v1.shape[0] >= (1 << 24):
+        raise ValueError(
+            f"ClusterBVH holds prim ids as f32 (exact < 2^24); got "
+            f"{v1.shape[0]} prims — shard the geometry instead "
+            f"(visionaray_tpu.parallel.ring)")
+    if treelet_size > 0:
+        return _build_kd_tree(v1, e1, e2, K, treelet_size)
+    C, tri_cols, cl_lo, cl_hi, cl_codes = _sorted_cluster_data(v1, e1, e2, K)
+    return _build_single_tree(C, K, tri_cols, cl_lo, cl_hi, cl_codes)
+
+
+def _build_single_tree(C, K, tri_cols, cl_lo, cl_hi, cl_codes):
+    left, right, _parent = build_radix_tree(cl_codes)
+    node_lo, node_hi = refit(left, right, cl_lo, cl_hi)
     if C > 1:
         lf = jnp.concatenate([left.astype(jnp.float32),
                               jnp.zeros((C,), jnp.float32)])
@@ -166,6 +215,139 @@ def build_cluster_bvh(mesh, cluster_size: int = 0) -> ClusterBVH:
         node_lo[:, 0], node_lo[:, 1], node_lo[:, 2],
         node_hi[:, 0], node_hi[:, 1], node_hi[:, 2],
         lf, rf,
-    ], axis=1)  # (2C-1, 8)
+    ], axis=1)
+    tris = tri_cols.reshape(C, K // 8, 128)
     return ClusterBVH(nodes=nodes, tris=tris, num_clusters=int(C),
                       cluster_size=K)
+
+
+def _kd_sort(cent, levels: int):
+    """Balanced kd permutation: recursively median-split equal segments
+    along each segment's longest centroid axis.
+
+    Morton-run clusters/treelets were measured useless on architectural
+    scenes: treelet boxes overlapped 4.2x (a random interior point sat
+    inside ~4.2 of them; one treelet spanned 25% of the scene), so the
+    binned path's entry-distance culling never fired.  Median splits give
+    compact, minimally-overlapping boxes at every granularity and the
+    recursion tree IS the BVH (a complete binary heap).
+
+    ``cent``: (n, 3) centroids, n divisible by 2^levels; padding entries
+    must carry +3e38 so they sink to the tail segment.  Returns (n,) perm.
+    """
+    n = cent.shape[0]
+    perm = jnp.arange(n, dtype=jnp.int32)
+    for lvl in range(levels):
+        n_seg = 1 << lvl
+        seg = n // n_seg
+        c = jnp.take(cent, perm, axis=0).reshape(n_seg, seg, 3)
+        finite = c[..., 0] < 1e38
+        lo = jnp.where(finite[..., None], c, 3e38).min(axis=1)
+        hi = jnp.where(finite[..., None], c, -3e38).max(axis=1)
+        axis = jnp.argmax(hi - lo, axis=-1)
+        key = jnp.take_along_axis(
+            c, axis[:, None, None].astype(jnp.int32), axis=-1)[..., 0]
+        order = jnp.argsort(key, axis=1)
+        perm = jnp.take_along_axis(
+            perm.reshape(n_seg, seg), order, axis=1).reshape(-1)
+    return perm
+
+
+def _heap_lca_table(S: int):
+    """(S, S) lowest-common-ancestor heap indices of the treelet level.
+
+    Treelet j is heap node (S-1)+j; walking both arguments up one level at
+    a time meets at the LCA after <= log2(S) steps (they start equal-depth).
+    """
+    x = jnp.broadcast_to((S - 1) + jnp.arange(S, dtype=jnp.int32)[:, None],
+                         (S, S))
+    y = jnp.broadcast_to((S - 1) + jnp.arange(S, dtype=jnp.int32)[None, :],
+                         (S, S))
+    for _ in range(max(1, int(np.log2(S)))):
+        up_x = (x - 1) >> 1
+        up_y = (y - 1) >> 1
+        step = x != y
+        x = jnp.where(step, up_x, x)
+        y = jnp.where(step, up_y, y)
+    return x
+
+
+def _build_kd_tree(v1, e1, e2, K: int, T: int) -> ClusterBVH:
+    """Full kd build: triangles kd-sorted into 2^L clusters of K, the tree
+    a complete binary heap over the clusters.
+
+    Heap layout coincides exactly with the kernel's unified layout:
+    internal nodes [0, C-1), leaf of cluster c at row (C-1)+c, children of
+    internal i at 2i+1 / 2i+2.  Depth log2(C) <= 14 (stack-safe), treelet
+    roots are simply the heap level with S nodes.
+    """
+    assert T & (T - 1) == 0, "treelet_size must be a power of two"
+    F = v1.shape[0]
+    Cp = 1 << max(1, int(np.ceil(np.log2(-(-F // K)))))
+    S = Cp // T
+    if S <= 1:
+        C, tri_cols, cl_lo, cl_hi, cl_codes = _sorted_cluster_data(
+            v1, e1, e2, K)
+        return _build_single_tree(C, K, tri_cols, cl_lo, cl_hi, cl_codes)
+    Fp = Cp * K
+
+    v1 = jax.lax.stop_gradient(v1)
+    e1 = jax.lax.stop_gradient(e1)
+    e2 = jax.lax.stop_gradient(e2)
+    lo, hi = triangle_aabbs(v1, e1, e2)
+    cent = 0.5 * (lo + hi)
+    pad = Fp - F
+    if pad:
+        padv = lambda a, val: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], val, a.dtype)], axis=0)
+        v1 = padv(v1, 0.0)
+        e1 = padv(e1, 0.0)   # zero edges: Moller-Trumbore div==0, never hit
+        e2 = padv(e2, 0.0)
+        lo = padv(lo, jnp.inf)
+        hi = padv(hi, -jnp.inf)
+        cent = padv(cent, 3e38)  # sinks padding to the tail segment
+
+    perm = _kd_sort(cent, int(np.log2(Cp)))
+    take = lambda a: jnp.take(a, perm, axis=0)
+    v1s, e1s, e2s = take(v1), take(e1), take(e2)
+    prim_ids = jnp.where(perm < F, perm, 0)
+    los, his = take(lo), take(hi)
+
+    cl_lo = jnp.min(los.reshape(Cp, K, 3), axis=1)
+    cl_hi = jnp.max(his.reshape(Cp, K, 3), axis=1)
+    cl_lo = jnp.where(jnp.isfinite(cl_lo), cl_lo, 1e30)
+    cl_hi = jnp.where(jnp.isfinite(cl_hi), cl_hi, -1e30)
+
+    left = 2 * jnp.arange(Cp - 1, dtype=jnp.int32) + 1
+    right = 2 * jnp.arange(Cp - 1, dtype=jnp.int32) + 2
+    node_lo, node_hi = refit(left, right, cl_lo, cl_hi)
+    node_lo = jnp.where(jnp.isfinite(node_lo), node_lo, 1e30)
+    node_hi = jnp.where(jnp.isfinite(node_hi), node_hi, -1e30)
+
+    assert K % 8 == 0, "cluster_size must be a multiple of 8"
+    tri_cols = jnp.concatenate([
+        v1s.reshape(Cp, K, 3), e1s.reshape(Cp, K, 3), e2s.reshape(Cp, K, 3),
+        prim_ids.reshape(Cp, K, 1).astype(jnp.float32),
+        jnp.zeros((Cp, K, 6), jnp.float32),
+    ], axis=-1)
+    tris = tri_cols.reshape(Cp, K // 8, 128)
+
+    lf = jnp.concatenate([left.astype(jnp.float32),
+                          jnp.zeros((Cp,), jnp.float32)])
+    rf = jnp.concatenate([right.astype(jnp.float32),
+                          jnp.zeros((Cp,), jnp.float32)])
+    nodes = jnp.stack([
+        node_lo[:, 0], node_lo[:, 1], node_lo[:, 2],
+        node_hi[:, 0], node_hi[:, 1], node_hi[:, 2],
+        lf, rf,
+    ], axis=1)  # (2Cp-1, 8)
+
+    troot_rows = (S - 1) + jnp.arange(S, dtype=jnp.int32)
+    return ClusterBVH(
+        nodes=nodes, tris=tris, num_clusters=int(Cp), cluster_size=K,
+        treelet_size=int(T), num_treelets=int(S),
+        treelet_lo=node_lo[S - 1: 2 * S - 1],
+        treelet_hi=node_hi[S - 1: 2 * S - 1],
+        treelet_roots=troot_rows,
+        top_lca=_heap_lca_table(S),
+    )

@@ -71,10 +71,10 @@ STACK_DEPTH = 64
 _INV_CLAMP = 1e18    # keeps interval products finite (no inf*0 NaNs)
 
 
-def _traverse_kernel(rays_ref, nodes_ref, tris_hbm, out_t_ref, out_prim_ref,
-                     out_u_ref, out_v_ref, tri_smem, stack_ref, dma_sem, *,
-                     num_clusters: int, cluster_size: int, any_hit: bool,
-                     rows: int, group: int):
+def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
+                     out_prim_ref, out_u_ref, out_v_ref, tri_smem, stack_ref,
+                     dma_sem, *, num_clusters: int, cluster_size: int,
+                     any_hit: bool, rows: int, group: int):
     C = num_clusters
     K = cluster_size
     G = group
@@ -87,15 +87,25 @@ def _traverse_kernel(rays_ref, nodes_ref, tris_hbm, out_t_ref, out_prim_ref,
     def clamp_inv(d):
         return jnp.clip(1.0 / d, -_INV_CLAMP, _INV_CLAMP)
 
-    # --- per-tile interval hull (one-time reductions; scalars thereafter)
+    # --- per-tile interval hull (one-time reductions; scalars thereafter).
+    # DEAD lanes (max_t < 0: padding, culled pairs) are masked out — their
+    # placeholder origins would otherwise inflate the hull to include the
+    # pad value and a partially-dead tile would scan far beyond its rays
+    # (measured 13x slowdown on the binned path before masking).
     o_iv = []
     i_iv = []
     maxt0 = []
     for g in range(G):
-        o_iv.append([(jnp.min(ray_comp(c, g)), jnp.max(ray_comp(c, g)))
+        alive = ray_comp(6, g) >= 0.0
+        o_iv.append([(jnp.min(jnp.where(alive, ray_comp(c, g), 3e38)),
+                      jnp.max(jnp.where(alive, ray_comp(c, g), -3e38)))
                      for c in range(3)])
-        i_iv.append([(jnp.min(clamp_inv(ray_comp(3 + c, g))),
-                      jnp.max(clamp_inv(ray_comp(3 + c, g))))
+        i_iv.append([(jnp.min(jnp.where(alive,
+                                        clamp_inv(ray_comp(3 + c, g)),
+                                        _INV_CLAMP)),
+                      jnp.max(jnp.where(alive,
+                                        clamp_inv(ray_comp(3 + c, g)),
+                                        -_INV_CLAMP)))
                      for c in range(3)])
         maxt0.append(jnp.max(ray_comp(6, g)))
 
@@ -320,8 +330,15 @@ def _traverse_kernel(rays_ref, nodes_ref, tris_hbm, out_t_ref, out_prim_ref,
                 new_state[7].append(bv)
             return tuple(tuple(x) for x in new_state)
 
-        init = (tuple(jnp.bool_(False) for _ in range(G)),
-                tuple(jnp.int32(0) for _ in range(G)),
+        # per-tile start node (SMEM scalar): 0 = global root; a treelet
+        # root confines the traversal to that subtree (binned path).
+        # roots is one flat SMEM row (Mosaic needs SMEM blocks (8,128)-
+        # divisible or full-size) indexed by the grid position.
+        # Tiles with NO live lane (maxt0 < 0) start done: their masked
+        # hull is the empty interval whose frustum arithmetic degenerates.
+        pid0 = pl.program_id(0)
+        init = (tuple(maxt0[g] < 0.0 for g in range(G)),
+                tuple(roots_ref[0, pid0 * G + g] for g in range(G)),
                 tuple(jnp.int32(0) for _ in range(G)),
                 tuple(maxt0), tuple(best_t0), tuple(best_prim0),
                 tuple(best_u0), tuple(best_v0))
@@ -343,15 +360,20 @@ def _round_up(x, m):
                                              "any_hit", "interpret"))
 def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
                       cluster_size: int, any_hit: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False, tile_roots=None):
     """rays8: (8, n_groups, G, R, 128) rows [ox oy oz dx dy dz maxt pad].
 
+    ``tile_roots``: optional (n_groups, G) i32 start node per tile (binned
+    traversal); None = global root everywhere.
     Returns (t, prim_f, u, v) each (n_groups, G, R, 128); prim_f = -1 if
     no hit.
     """
     n_groups = rays8.shape[1]
     group = rays8.shape[2]
     rows = rays8.shape[3]
+    if tile_roots is None:
+        tile_roots = jnp.zeros((n_groups, group), jnp.int32)
+    tile_roots = tile_roots.reshape(1, n_groups * group)
     kernel = functools.partial(
         _traverse_kernel, num_clusters=num_clusters,
         cluster_size=cluster_size, any_hit=any_hit, rows=rows, group=group)
@@ -366,6 +388,7 @@ def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
                          lambda i: (0, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # node table (scalars)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # per-tile start nodes
             pl.BlockSpec(memory_space=pl.ANY),       # tris stay in HBM
         ],
         out_specs=[
@@ -383,7 +406,7 @@ def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
             pltpu.SemaphoreType.DMA((group,)),
         ],
         interpret=interpret,
-    )(rays8, nodes_flat, tris)
+    )(rays8, nodes_flat, tile_roots, tris)
     return out_t, out_prim, out_u, out_v
 
 
@@ -571,6 +594,250 @@ def cluster_closest_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t=FLT_MAX,
         geom_id=jnp.take(mesh.geom_ids, pid),
         u=jnp.where(hit, u, 0.0),
         v=jnp.where(hit, v, 0.0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Treelet-binned traversal — the incoherent-ray path.
+#
+# Consensus (interval-hull) traversal collapses when a tile's rays diverge:
+# the hull covers the whole scene and every leaf is intersected by every
+# lane (round-1 measured a 60x cliff, docs/PERF.md).  The fix is to make
+# tiles agree on WHAT they traverse instead of hoping they agree on WHERE
+# they go: bin (ray, treelet) pairs per treelet, advance each pair's origin
+# to its treelet entry point, and traverse only that treelet's subtree.
+# Tiles then hold rays that (a) start on one treelet's boundary and (b)
+# visit only its <=T clusters — tight hulls, bounded leaf work.
+
+BIN_M = 8            # treelet slots per ray (last doubles as overflow slot)
+_ENTRY_CHUNK = 1 << 15   # rays per entry-test chunk (bounds the N x S matrix)
+
+
+def _treelet_entries(o, d, mt, tlo, thi, m: int):
+    """Entry distances of each ray into its m nearest treelets.
+
+    Returns (ent (N, m) ascending, inf = empty slot; slot (N, m) i32
+    treelet index with -1 = "whole tree").  Overflow (ray overlaps more
+    than m treelets): the last slot becomes a whole-tree pass starting at
+    the m-th nearest entry — every treelet outside the first m-1 has entry
+    >= that by construction of top_k, so coverage stays exact.
+    """
+    n = o.shape[0]
+
+    def chunk_fn(args):
+        oc, dc, mc = args
+        inv = jnp.clip(1.0 / dc, -_INV_CLAMP, _INV_CLAMP)
+        t1 = (tlo[None, :, :] - oc[:, None, :]) * inv[:, None, :]
+        t2 = (thi[None, :, :] - oc[:, None, :]) * inv[:, None, :]
+        tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hit = (tf >= tn) & (tf >= 0.0) & (tn < mc[:, None])
+        ent_all = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
+        neg, idx = jax.lax.top_k(-ent_all, m)
+        ent = -neg
+        slot = idx.astype(jnp.int32)
+        ovf = jnp.sum(hit, axis=-1) > m
+        slot = slot.at[:, m - 1].set(
+            jnp.where(ovf, -1, slot[:, m - 1]))
+        return ent, slot
+
+    if n <= _ENTRY_CHUNK:
+        return chunk_fn((o, d, mt))
+    npad = _round_up(n, _ENTRY_CHUNK)
+    pad = npad - n
+    op = jnp.pad(o, ((0, pad), (0, 0)))
+    dp = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    mp = jnp.pad(mt, (0, pad), constant_values=-1.0)
+    nc = npad // _ENTRY_CHUNK
+    ent, slot = jax.lax.map(
+        chunk_fn, (op.reshape(nc, _ENTRY_CHUNK, 3),
+                   dp.reshape(nc, _ENTRY_CHUNK, 3),
+                   mp.reshape(nc, _ENTRY_CHUNK)))
+    return ent.reshape(npad, m)[:n], slot.reshape(npad, m)[:n]
+
+
+def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
+                  m: int, any_hit: bool):
+    """Shared binned driver; returns per-RAY outs (n, 4) [t prim u v] with
+    t the GLOBAL distance (treelet entry + local t).
+
+    Slots are processed as SEQUENTIAL ROUNDS in entry order with best-t
+    culling between rounds: round r traces only lanes whose r-th nearest
+    treelet entry is still in front of their current best hit.  In an
+    occluded (interior) scene most rays resolve in their nearest treelet
+    and every later round retires on its first frustum test — this
+    occlusion sequencing is what a one-shot pair expansion lacks (measured
+    6x SLOWER than unbinned: interior rays overlap >m treelets, so nearly
+    every ray also paid a whole-tree overflow pass).
+    """
+    sg = jax.lax.stop_gradient
+    m = min(m, cbvh.num_treelets)
+    o = sg(ray.ori.reshape(-1, 3))
+    d = sg(ray.dir.reshape(-1, 3))
+    n = o.shape[0]
+    mt = sg(jnp.broadcast_to(jnp.asarray(max_t, jnp.float32),
+                             ray.batch_shape).reshape(-1))
+    tlo = sg(cbvh.treelet_lo)
+    thi = sg(cbvh.treelet_hi)
+    troots = sg(cbvh.treelet_roots)
+    root_lo = sg(cbvh.nodes[0, 0:3])
+    root_hi = sg(cbvh.nodes[0, 3:6])
+    ext = jnp.maximum(root_hi - root_lo, 1e-9)
+
+    ent, slot = _treelet_entries(o, d, mt, tlo, thi, m)
+
+    S = cbvh.num_treelets
+    troots = sg(cbvh.treelet_roots)
+    chunk = TILE_ROWS * 128
+    # CHUNK-ALIGNED VARIABLE SEGMENTS: a kernel tile must never mix
+    # treelets — a confined tile was measured 180x faster than one given an
+    # ancestor subtree (the interval hull degenerates and scans whatever
+    # subtree it gets).  Each round lays the treelet-sorted live pairs out
+    # with every treelet's run padded up to a tile boundary (dead lanes
+    # retire in one frustum test), so HOT treelets simply own several
+    # consecutive tiles (fixed-capacity buckets spilled ~30% of pairs to a
+    # whole-tree region on this scene — occupancy is highly skewed).
+    # Whole-tree (-1) slots form one root-0 segment at the end.
+    n_groups = _round_up(n + (S + 1) * chunk,
+                         chunk * INTERLEAVE) // (chunk * INTERLEAVE)
+    Ppad = n_groups * chunk * INTERLEAVE
+    n_tiles = Ppad // chunk
+
+    def round_fn(r, carry):
+        bt, bp, bu, bv = carry
+        ent_r = jax.lax.dynamic_slice_in_dim(ent, r, 1, axis=1)[:, 0]
+        slot_r = jax.lax.dynamic_slice_in_dim(slot, r, 1, axis=1)[:, 0]
+        cap = jnp.minimum(mt, bt)
+        live = jnp.isfinite(ent_r) & (ent_r < cap)
+        if any_hit:
+            live = live & (bp < 0.0)  # already occluded: skip all rounds
+        ent_c = jnp.where(live, ent_r, 0.0)
+        op = o + d * ent_c[:, None]
+        mtp = jnp.where(live, cap - ent_c, -1.0)
+
+        # sort: treelet-major (dead rays last), within a treelet by
+        # direction octant + entry-point morton so hulls stay tight
+        q = jnp.clip((op - root_lo) / ext, 0.0, 1.0)
+        mor = morton3d(q).astype(jnp.uint32) >> 11      # top 19 bits
+        octant = ((d[:, 0] < 0).astype(jnp.uint32)
+                  + ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+                  + ((d[:, 2] < 0).astype(jnp.uint32) << 2))
+        skey = jnp.where(live, jnp.where(slot_r < 0, S, slot_r),
+                         S + 1).astype(jnp.uint32)
+        key = (skey << jnp.uint32(22)) | (octant << jnp.uint32(19)) | mor
+        perm = jnp.argsort(key)
+        skey_s = jnp.take(skey, perm)
+
+        # aligned segment layout: value s (treelet 0..S-1, S = whole-tree)
+        # starts at a tile boundary and owns ceil(count_s / chunk) tiles
+        seg = jnp.searchsorted(skey_s,
+                               jnp.arange(S + 2, dtype=jnp.uint32))
+        count = seg[1: S + 2] - seg[: S + 1]            # values 0..S
+        aligned = ((count + chunk - 1) // chunk) * chunk
+        astart = jnp.concatenate([
+            jnp.zeros((1,), aligned.dtype), jnp.cumsum(aligned)])  # (S+2,)
+        j = jnp.arange(n, dtype=jnp.int32)
+        skey_i = jnp.minimum(skey_s, S + 1).astype(jnp.int32)
+        dest = (jnp.take(astart, jnp.minimum(skey_i, S)).astype(jnp.int32)
+                + (j - jnp.take(seg, jnp.minimum(skey_i, S))
+                   .astype(jnp.int32)))
+        dest = jnp.where(skey_i <= S, dest, Ppad)       # dead -> dropped
+        src = jnp.full((Ppad,), -1, jnp.int32).at[dest].set(
+            j, mode="drop")
+        dead = src < 0
+        srcc = jnp.maximum(src, 0)
+        pair_of_lane = jnp.take(perm, srcc)    # lane -> original pair
+        gather = lambda a: jnp.take(a, pair_of_lane, axis=0)
+        op_k = jnp.where(dead[:, None], 0.0, gather(op))
+        d_k = jnp.where(dead[:, None], 1.0, gather(d))
+        mt_k = jnp.where(dead, -1.0, jnp.take(mtp, pair_of_lane))
+
+        # per-tile roots: the segment covering the tile's first lane
+        # (segments are tile-aligned, so a tile never straddles two)
+        tile_seg = jnp.searchsorted(
+            astart[1:], jnp.arange(n_tiles, dtype=astart.dtype) * chunk,
+            side="right").astype(jnp.int32)
+        tile_roots = jnp.where(
+            tile_seg < S, jnp.take(troots, jnp.minimum(tile_seg, S - 1)),
+            0).reshape(n_groups, INTERLEAVE)
+
+        rays8 = _pack_rays(op_k, d_k, mt_k, Ppad, Ppad, n_groups,
+                           INTERLEAVE, TILE_ROWS, pad_maxt=-1.0)
+        t_t, prim_t, u_t, v_t = _cluster_traverse(
+            rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
+            cbvh.cluster_size, any_hit=any_hit, interpret=interpret,
+            tile_roots=tile_roots)
+
+        # route kernel outputs back: sorted pair j sits at lane dest[j]
+        # (dead pairs pointed at Ppad; clamp and mask via `live` below)
+        lane_of_sorted = jnp.minimum(dest, Ppad - 1)
+        inv = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(n, dtype=perm.dtype))
+        lane_of_pair = jnp.take(lane_of_sorted, inv)
+
+        unsort = lambda a: jnp.take(a.reshape(-1), lane_of_pair)
+        prim_r = unsort(prim_t)
+        hit_r = live & (prim_r >= 0.0)
+        tg = ent_c + unsort(t_t)
+        upd = hit_r & (tg < bt)
+        bt = jnp.where(upd, tg, bt)
+        bp = jnp.where(upd, prim_r, bp)
+        bu = jnp.where(upd, unsort(u_t), bu)
+        bv = jnp.where(upd, unsort(v_t), bv)
+        return bt, bp, bu, bv
+
+    init = (jnp.full((n,), FLT_MAX, jnp.float32),
+            jnp.full((n,), -1.0, jnp.float32),
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+    bt, bp, bu, bv = jax.lax.fori_loop(0, m, round_fn, init)
+    outs = jnp.stack([bt, bp, bu, bv], axis=1)
+    outs = checkpoint_name(outs, "traced_hits")
+    return outs
+
+
+def binned_closest_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t=FLT_MAX,
+                       interpret: bool = False, m: int = BIN_M) -> HitRecord:
+    """Closest hit via treelet binning; differentiable by recompute."""
+    assert cbvh.treelet_size > 0, \
+        "binned traversal needs a treelet-built ClusterBVH " \
+        "(build_cluster_bvh(..., treelet_size=T))"
+    outs = _binned_trace(ray, cbvh, max_t, interpret, m, any_hit=False)
+    bs = ray.batch_shape
+    prim_flat = outs[:, 1]
+    hit = (prim_flat >= 0.0).reshape(bs)
+    pid = jnp.where(hit, prim_flat.reshape(bs).astype(jnp.int32), 0)
+    kt = outs[:, 0].reshape(bs)
+    ku = outs[:, 2].reshape(bs)
+    kv = outs[:, 3].reshape(bs)
+    v1, e1, e2 = mesh.corners()
+    tbl = jnp.concatenate(
+        [v1, e1, e2, jnp.zeros(v1.shape[:-1] + (7,), v1.dtype)], axis=-1)
+    t, u, v = _hit_tuv(ray.ori, ray.dir, tbl, pid, kt, ku, kv)
+    return HitRecord(
+        hit=hit,
+        t=jnp.where(hit, t, FLT_MAX),
+        prim_id=pid.astype(jnp.int32),
+        geom_id=jnp.take(mesh.geom_ids, pid),
+        u=jnp.where(hit, u, 0.0),
+        v=jnp.where(hit, v, 0.0),
+    )
+
+
+def binned_any_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t,
+                   interpret: bool = False, m: int = BIN_M) -> HitRecord:
+    """Occlusion query via treelet binning (any pair hit occludes)."""
+    assert cbvh.treelet_size > 0
+    outs = _binned_trace(ray, cbvh, max_t, interpret, m, any_hit=True)
+    bs = ray.batch_shape
+    prim_flat = outs[:, 1].reshape(bs)
+    t = outs[:, 0].reshape(bs)
+    hit = prim_flat >= 0.0
+    pid = jnp.where(hit, prim_flat.astype(jnp.int32), 0)
+    return HitRecord(
+        hit=hit, t=jnp.where(hit, t, FLT_MAX),
+        prim_id=pid.astype(jnp.int32),
+        geom_id=jnp.take(mesh.geom_ids, pid),
+        u=jnp.zeros_like(t), v=jnp.zeros_like(t),
     )
 
 

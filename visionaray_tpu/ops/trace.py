@@ -255,10 +255,14 @@ def _cluster_closest_filtered(ray: Ray, cbvh, mesh, hit_filter,
 
 
 def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None,
-                hit_filter=None) -> HitRecord:
+                hit_filter=None, binned: bool = False) -> HitRecord:
     """Closest-hit query over the whole scene (traverse_linear.inl:286-318).
 
     ``hit_filter``: custom-intersector hook, see intersect_triangles_brute.
+    ``binned``: treelet-binned traversal on the Pallas tier — the fast path
+    for INCOHERENT rays (diffuse bounces); requires a treelet-built
+    ClusterBVH, silently falls back otherwise.  Coherent primary rays are
+    faster unbinned.
     """
     best = HitRecord.none(ray.batch_shape)
     offset = 0
@@ -266,13 +270,18 @@ def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None,
         if use_bvh is None:
             use_bvh = scene.bvh is not None
         if use_bvh and _is_cluster_bvh(scene.bvh):
-            from visionaray_tpu.ops.pallas.traverse import cluster_closest_hit
+            from visionaray_tpu.ops.pallas.traverse import (
+                binned_closest_hit, cluster_closest_hit,
+            )
             if hit_filter is not None:
                 # a filtered-out winner falls through to the NEXT hit
                 # (reference in-traversal rejection semantics)
                 hr = _cluster_closest_filtered(ray, scene.bvh, scene.mesh,
                                                hit_filter,
                                                _interpret_default())
+            elif binned and scene.bvh.treelet_size > 0:
+                hr = binned_closest_hit(ray, scene.bvh, scene.mesh,
+                                        interpret=_interpret_default())
             else:
                 hr = cluster_closest_hit(ray, scene.bvh, scene.mesh,
                                          interpret=_interpret_default())
@@ -302,13 +311,14 @@ def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None,
 
 
 def any_hit(ray: Ray, scene, max_t, use_bvh: Optional[bool] = None,
-            hit_filter=None) -> HitRecord:
+            hit_filter=None, binned: bool = False) -> HitRecord:
     """Any-hit (occlusion) query with max_t (traverse_linear.inl:186-272).
 
     Semantics: a hit counts iff hit && 0 <= t < max_t.  The jnp tier computes
     the closest such hit (no early-out in lock-step lanes — same as the
     reference's SIMD packets which also keep traversing until all lanes
-    terminate); the Pallas tier adds whole-tile early exit.
+    terminate); the Pallas tier adds whole-tile early exit.  ``binned``:
+    see closest_hit.
     """
     best = HitRecord.none(ray.batch_shape)
     offset = 0
@@ -316,9 +326,15 @@ def any_hit(ray: Ray, scene, max_t, use_bvh: Optional[bool] = None,
         if use_bvh is None:
             use_bvh = scene.bvh is not None
         if use_bvh and _is_cluster_bvh(scene.bvh):
-            from visionaray_tpu.ops.pallas.traverse import cluster_any_hit
-            hr = cluster_any_hit(ray, scene.bvh, scene.mesh, max_t,
-                                 interpret=_interpret_default())
+            from visionaray_tpu.ops.pallas.traverse import (
+                binned_any_hit, cluster_any_hit,
+            )
+            if binned and scene.bvh.treelet_size > 0:
+                hr = binned_any_hit(ray, scene.bvh, scene.mesh, max_t,
+                                    interpret=_interpret_default())
+            else:
+                hr = cluster_any_hit(ray, scene.bvh, scene.mesh, max_t,
+                                     interpret=_interpret_default())
         elif use_bvh:
             from visionaray_tpu.ops.traversal import bvh_any_hit
             hr = bvh_any_hit(ray, scene.bvh, scene.mesh, max_t,

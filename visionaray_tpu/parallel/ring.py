@@ -1,201 +1,304 @@
 """Geometry-sharded tracing: ring ray exchange over the device mesh.
 
 For scenes too large to replicate per chip (BASELINE config #5: instanced
-Sponza x16 at 4K), the mesh is partitioned into D shards, each device owns
-one sub-mesh + its own LBVH, and rays visit every shard via a ring of
-`ppermute` rotations — keeping a running closest hit as they travel.
-Structurally this is ring attention for rays (SURVEY.md §5): geometry
-shards <-> KV blocks, ray batches <-> query blocks, and an online min over
-t replaces the online softmax.
+Sponza x16 at 4K), the mesh is spatially partitioned into D shards, each
+device owns one sub-mesh + its own acceleration structure, and rays visit
+every shard via a ring of `ppermute` rotations — keeping a running closest
+hit as they travel.  Structurally this is ring attention for rays
+(SURVEY.md §5): geometry shards <-> KV blocks, ray batches <-> query
+blocks, and an online min over t replaces the online softmax.
 
 Round r (of D):
-  1. each device intersects the visiting ray batch against its local BVH,
-     merging into the carried best hit (tagging the owner shard);
-  2. rays + carried best rotate to the next device over ICI (`ppermute`).
-After D rounds every ray has seen every shard and is back on its home
-device with the globally closest hit.
+  1. shard-AABB cull: lanes whose live segment [0, best_t) misses this
+     shard's bounding box carry max_t = -1 and skip the local traversal
+     (on the Pallas tier their tiles retire on the first frustum test);
+  2. survivors traverse the LOCAL acceleration structure (per-shard
+     ClusterBVH / LBVH built once, outside the loop) with max_t = best_t
+     — the reference's is_closer(…, max_t) pruning (update_if.h:75-80)
+     applied across devices;
+  3. the winner's (t, u, v) are recomputed differentiably at its local
+     primitive IN THE SAME HOP (each backend's closest_hit is recompute-
+     differentiable), so no separate gradient rotation pass is needed;
+  4. rays + carried best rotate to the next device over ICI (`ppermute`).
+After D rounds every ray has seen every shard and is home with the
+globally closest hit and differentiable (t, u, v).
 
-The carried best-t also culls: a shard's traversal passes max_t = best_t,
-so later hops get cheaper (the reference's is_closer(…, max_t) pruning,
-update_if.h:75-80, applied across devices).
-
-Differentiability (recompute across shards): the ring search runs under
-stop_gradient; a second, cheap rotation pass re-intersects each ray's
-winning primitive differentiably on the shard that owns it and rotates the
-(t, u, v) home — same fixed-topology gradients as ops/traversal.py.
+Memory: each shard holds per = ceil(F/D) triangle records (soup form,
+~36 B each) + its accel — the per-device HBM footprint is ~1/D of the
+scene; nothing is broadcast.  Spatial (morton) partitioning keeps shard
+AABBs compact so the step-1 cull skips most (ray, shard) combinations.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from visionaray_tpu.core.scene import TriangleMesh
-from visionaray_tpu.core.types import FLT_MAX, HitRecord, Ray
-from visionaray_tpu.ops.intersect import intersect_triangle
+from visionaray_tpu.core.types import (
+    FLT_MAX, HitRecord, Ray, pytree_dataclass,
+)
+from visionaray_tpu.ops.intersect import intersect_aabb, intersect_triangle
+from visionaray_tpu.ops.lbvh import (
+    build_lbvh_from_aabbs, morton3d, triangle_aabbs,
+)
 
 SHARD_AXIS = "shards"
 
+BACKENDS = ("brute", "lbvh", "cluster")
 
-def shard_mesh(mesh: TriangleMesh, n_shards: int):
-    """Partition a TriangleMesh into n equal shards (stacked leading axis).
 
-    Faces are padded per-shard with degenerate triangles (vertex 0 repeated
-    -> zero-area, never hit).  Returns a TriangleMesh whose arrays carry a
-    leading (n_shards,) axis, ready for shard_map in_spec P('shards').
+@pytree_dataclass
+class SoupMesh:
+    """Minimal per-shard mesh view (triangle soup) satisfying the corners()
+    + geom_ids contract the traversal tiers consume."""
+
+    v1: Any       # (per, 3)
+    e1: Any
+    e2: Any
+    geom_ids: Any  # (per,)
+
+    def corners(self):
+        return self.v1, self.e1, self.e2
+
+    @property
+    def num_prims(self):
+        return self.v1.shape[0]
+
+
+@pytree_dataclass(static=("backend", "prims_per_shard", "num_shards"))
+class ShardedGeometry:
+    """Spatially partitioned scene geometry, one shard per device.
+
+    All arrays carry a leading (D,) shard axis; pass through shard_map with
+    in_spec P(SHARD_AXIS).  ``soup.v1/e1/e2`` are the differentiable
+    leaves (gradients arrive per-shard; map to the original vertex buffer
+    via ``prim_ids`` if needed).
     """
-    F = mesh.num_prims
+
+    soup: SoupMesh          # fields (D, per, ...)
+    prim_ids: Any           # (D, per) original face index of each soup slot
+    shard_lo: Any           # (D, 3)
+    shard_hi: Any           # (D, 3)
+    bvh: Any                # per-shard accel (leading D) or None for brute
+    backend: str = "lbvh"
+    prims_per_shard: int = 0
+    num_shards: int = 0
+
+
+def shard_geometry(mesh, n_shards: int, backend: str = "lbvh",
+                   cluster_size: int = 8,
+                   treelet_size: int = 0) -> ShardedGeometry:
+    """Partition a TriangleMesh into n spatially-compact shards.
+
+    Faces are morton-sorted by centroid then split into D contiguous
+    ranges, so each shard covers a compact region and the ring's
+    shard-AABB cull is effective.  The tail shard is padded by repeating
+    its last face (duplicate hits merge to the same t — harmless).
+    """
+    assert backend in BACKENDS, backend
+    v1, e1, e2 = mesh.corners()
+    F = v1.shape[0]
+    lo, hi = triangle_aabbs(v1, e1, e2)
+    centroid = 0.5 * (lo + hi)
+    scene_lo = jnp.min(lo, axis=0)
+    extent = jnp.maximum(jnp.max(hi, axis=0) - scene_lo, 1e-9)
+    order = jnp.argsort(morton3d((centroid - scene_lo) / extent))
+    order = order.astype(jnp.int32)
+
     per = -(-F // n_shards)
+    padn = per * n_shards - F
+    if padn:
+        order = jnp.concatenate(
+            [order, jnp.broadcast_to(order[-1], (padn,))], axis=0)
+    order = order.reshape(n_shards, per)
 
-    def pad_faces(a, fill):
-        padn = per * n_shards - F
-        if padn:
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(fill, (padn,) + a.shape[1:]).astype(a.dtype)],
-                axis=0)
-        return a.reshape(n_shards, per, *a.shape[1:])
+    take = lambda a: jnp.take(a, order.reshape(-1), axis=0).reshape(
+        n_shards, per, *a.shape[1:])
+    soup = SoupMesh(v1=take(v1), e1=take(e1), e2=take(e2),
+                    geom_ids=take(mesh.geom_ids))
+    s_lo = take(lo)
+    s_hi = take(hi)
+    shard_lo = jnp.min(s_lo, axis=1)
+    shard_hi = jnp.max(s_hi, axis=1)
 
-    faces = pad_faces(mesh.faces, jnp.zeros((3,), jnp.int32))
-    geom_ids = pad_faces(mesh.geom_ids, jnp.int32(0))
-    normals = pad_faces(mesh.normals, jnp.zeros((3,), jnp.float32))
-    corner_normals = pad_faces(mesh.corner_normals,
-                               jnp.zeros((3, 3), jnp.float32))
-    tex_coords = pad_faces(mesh.tex_coords, jnp.zeros((3, 2), jnp.float32))
-    vertices = jnp.broadcast_to(mesh.vertices,
-                                (n_shards,) + mesh.vertices.shape)
-    return TriangleMesh(
-        vertices=vertices, faces=faces, geom_ids=geom_ids, normals=normals,
-        corner_normals=corner_normals, tex_coords=tex_coords,
-        face_normals_binding=mesh.face_normals_binding)
-
-
-def _local_closest(ray: Ray, verts, faces, geom_ids, best: HitRecord,
-                   prim_offset):
-    """Brute-force local sweep merged into the carried best (max_t culled).
-
-    The Pallas/LBVH local traversal drops in here transparently; brute
-    force keeps the distributed logic testable on tiny CPU meshes.
-    """
-    v1 = verts[faces[:, 0]]
-    e1 = verts[faces[:, 1]] - v1
-    e2 = verts[faces[:, 2]] - v1
-    o = ray.ori[..., None, :]
-    d = ray.dir[..., None, :]
-    t, u, v, hit = intersect_triangle(o, d, v1, e1, e2)
-    valid = hit & (t >= 0.0) & (t < best.t[..., None])
-    tt = jnp.where(valid, t, FLT_MAX)
-    idx = jnp.argmin(tt, axis=-1)
-    take = lambda a: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
-    bt = take(tt)
-    closer = bt < best.t
-    sel = lambda a, b: jnp.where(closer, a, b)
-    return HitRecord(
-        hit=best.hit | closer,
-        t=sel(bt, best.t),
-        prim_id=sel((idx + prim_offset).astype(jnp.int32), best.prim_id),
-        geom_id=sel(jnp.take(geom_ids, idx), best.geom_id),
-        u=sel(take(u), best.u), v=sel(take(v), best.v),
-    )
+    bvh = None
+    if backend == "lbvh":
+        bvh = jax.vmap(build_lbvh_from_aabbs)(s_lo, s_hi)
+    elif backend == "cluster":
+        from visionaray_tpu.ops.pallas.cluster_bvh import (
+            build_cluster_bvh_from_corners,
+        )
+        bvh = jax.vmap(partial(
+            build_cluster_bvh_from_corners, cluster_size=cluster_size,
+            treelet_size=treelet_size))(soup.v1, soup.e1, soup.e2)
+    return ShardedGeometry(
+        soup=soup, prim_ids=order, shard_lo=shard_lo, shard_hi=shard_hi,
+        bvh=bvh, backend=backend, prims_per_shard=int(per),
+        num_shards=int(n_shards))
 
 
-def ring_closest_hit_local(ray: Ray, verts, faces, geom_ids, axis_name: str
-                           ) -> HitRecord:
+def _local_closest(ray: Ray, soup: SoupMesh, bvh, backend: str, max_t,
+                   interpret: bool) -> HitRecord:
+    """Backend dispatch for one shard's closest hit; differentiable by each
+    backend's own recompute.  prim_id is LOCAL to the shard."""
+    if backend == "cluster":
+        from visionaray_tpu.ops.pallas.traverse import cluster_closest_hit
+        return cluster_closest_hit(ray, bvh, soup, max_t=max_t,
+                                   interpret=interpret)
+    if backend == "lbvh":
+        from visionaray_tpu.ops.traversal import bvh_closest_hit
+        return bvh_closest_hit(ray, bvh, soup, max_t=max_t)
+    from visionaray_tpu.ops.trace import intersect_triangles_brute
+    hr = intersect_triangles_brute(ray, soup.v1, soup.e1, soup.e2,
+                                   soup.geom_ids)
+    ok = hr.hit & (hr.t < max_t)
+    return dataclasses.replace(hr, hit=ok, t=jnp.where(ok, hr.t, FLT_MAX))
+
+
+def _local_any(ray: Ray, soup: SoupMesh, bvh, backend: str, max_t,
+               interpret: bool) -> HitRecord:
+    if backend == "cluster":
+        from visionaray_tpu.ops.pallas.traverse import cluster_any_hit
+        return cluster_any_hit(ray, bvh, soup, max_t=max_t,
+                               interpret=interpret)
+    if backend == "lbvh":
+        from visionaray_tpu.ops.traversal import bvh_any_hit
+        return bvh_any_hit(ray, bvh, soup, max_t=max_t)
+    from visionaray_tpu.ops.trace import intersect_triangles_brute
+    hr = intersect_triangles_brute(ray, soup.v1, soup.e1, soup.e2,
+                                   soup.geom_ids)
+    ok = hr.hit & (hr.t < max_t)
+    return dataclasses.replace(hr, hit=ok, t=jnp.where(ok, hr.t, FLT_MAX))
+
+
+def ring_closest_hit_local(ray: Ray, soup: SoupMesh, bvh, shard_lo, shard_hi,
+                           backend: str, axis_name: str,
+                           interpret: bool = False) -> HitRecord:
     """Runs INSIDE shard_map: rays local to this device, geometry local.
 
-    Returns each home device's rays' global closest hit.  prim_id is the
-    global id (shard_index * prims_per_shard + local id); geom_id is global
-    (materials replicated).
+    Returns each home device's rays' global closest hit with differentiable
+    (t, u, v); prim_id is GLOBAL (owner_shard * prims_per_shard + local).
     """
     D = jax.lax.psum(1, axis_name)
-    per = faces.shape[0]
+    per = soup.num_prims
     my = jax.lax.axis_index(axis_name)
     perm_fwd = [(i, (i + 1) % D) for i in range(D)]
 
     def round_body(r, carry):
-        ray, best = carry
-        # geometry is pinned to this device: its global prim range starts
-        # at my * per regardless of which home batch is visiting
-        best = _local_closest(ray, verts, faces, geom_ids, best,
-                              prim_offset=my * per)
-        ray, best = jax.lax.ppermute((ray, best), axis_name, perm_fwd)
-        return ray, best
+        ray, best, owner = carry
+        # ---- shard-AABB cull: live segment [0, best.t) vs this shard
+        inv_d = 1.0 / jnp.where(jnp.abs(ray.dir) < 1e-30, 1e-30, ray.dir)
+        tn, tf, bh = intersect_aabb(jax.lax.stop_gradient(ray.ori),
+                                    jax.lax.stop_gradient(inv_d),
+                                    shard_lo, shard_hi)
+        want = bh & (tf >= 0.0) & (tn < best.t)
+        mt = jnp.where(want, jax.lax.stop_gradient(best.t), -1.0)
+        hr = _local_closest(ray, soup, bvh, backend, mt, interpret)
+        closer = hr.hit & (hr.t < best.t)
+        sel = lambda a, b: jnp.where(closer, a, b)
+        best = HitRecord(
+            hit=best.hit | closer,
+            t=sel(hr.t, best.t),
+            prim_id=sel(hr.prim_id, best.prim_id),
+            geom_id=sel(hr.geom_id, best.geom_id),
+            u=sel(hr.u, best.u), v=sel(hr.v, best.v))
+        owner = jnp.where(closer, my, owner)
+        ray, best, owner = jax.lax.ppermute((ray, best, owner), axis_name,
+                                            perm_fwd)
+        return ray, best, owner
 
     best0 = HitRecord.none(ray.batch_shape)
-    ray_out, best = jax.lax.fori_loop(0, D, round_body, (ray, best0))
+    owner0 = jnp.zeros(ray.batch_shape, jnp.int32)
     # D rotations = identity: rays (and their hits) are home again
-    return best
+    _, best, owner = jax.lax.fori_loop(0, D, round_body,
+                                       (ray, best0, owner0))
+    return dataclasses.replace(
+        best, prim_id=jnp.where(best.hit, owner * per + best.prim_id, 0))
 
 
-def ring_recompute_local(ray: Ray, hit: HitRecord, verts, faces,
-                         axis_name: str):
-    """Differentiable (t, u, v) recompute for ring results, inside shard_map.
-
-    Rotates (ray, prim_id) around the ring; each hop re-intersects the rays
-    whose winning primitive lives on this shard; accumulated (t, u, v)
-    travel with the rays and are home after D hops.
-    """
+def ring_any_hit_local(ray: Ray, max_t, soup: SoupMesh, bvh, shard_lo,
+                       shard_hi, backend: str, axis_name: str,
+                       interpret: bool = False) -> HitRecord:
+    """Occlusion ring: a ray already occluded skips every later shard."""
     D = jax.lax.psum(1, axis_name)
-    per = faces.shape[0]
-    my = jax.lax.axis_index(axis_name)
     perm_fwd = [(i, (i + 1) % D) for i in range(D)]
+    mt0 = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), ray.batch_shape)
 
     def round_body(r, carry):
-        ray, pid, acc_t, acc_u, acc_v = carry
-        owner = pid // per
-        local = jnp.clip(pid - my * per, 0, per - 1)
-        v1 = verts[faces[local, 0]]
-        e1 = verts[faces[local, 1]] - v1
-        e2 = verts[faces[local, 2]] - v1
-        t, u, v, _ = intersect_triangle(ray.ori, ray.dir, v1, e1, e2)
-        mine = owner == my
-        acc_t = jnp.where(mine, t, acc_t)
-        acc_u = jnp.where(mine, u, acc_u)
-        acc_v = jnp.where(mine, v, acc_v)
-        ray, pid, acc_t, acc_u, acc_v = jax.lax.ppermute(
-            (ray, pid, acc_t, acc_u, acc_v), axis_name, perm_fwd)
-        return ray, pid, acc_t, acc_u, acc_v
+        ray, mt, occluded, t = carry
+        inv_d = 1.0 / jnp.where(jnp.abs(ray.dir) < 1e-30, 1e-30, ray.dir)
+        tn, tf, bh = intersect_aabb(ray.ori, inv_d, shard_lo, shard_hi)
+        want = (~occluded) & bh & (tf >= 0.0) & (tn < mt)
+        hr = _local_any(ray, soup, bvh, backend,
+                        jnp.where(want, mt, -1.0), interpret)
+        occluded = occluded | hr.hit
+        t = jnp.where(hr.hit & (hr.t < t), hr.t, t)
+        ray, mt, occluded, t = jax.lax.ppermute(
+            (ray, mt, occluded, t), axis_name, perm_fwd)
+        return ray, mt, occluded, t
 
-    z = jnp.zeros(ray.batch_shape, jnp.float32)
-    _, _, t, u, v = jax.lax.fori_loop(
-        0, D, round_body, (ray, hit.prim_id, z, z, z))
-    return t, u, v
+    z = jnp.zeros(ray.batch_shape, jnp.bool_)
+    tinf = jnp.full(ray.batch_shape, FLT_MAX, jnp.float32)
+    _, _, occluded, t = jax.lax.fori_loop(
+        0, D, round_body, (jax.lax.stop_gradient(ray),
+                           jax.lax.stop_gradient(mt0), z, tinf))
+    return HitRecord(hit=occluded, t=t,
+                     prim_id=jnp.zeros(ray.batch_shape, jnp.int32),
+                     geom_id=jnp.zeros(ray.batch_shape, jnp.int32),
+                     u=jnp.zeros_like(t), v=jnp.zeros_like(t))
 
 
-def geometry_sharded_closest_hit(ray_global: Ray, sharded_mesh: TriangleMesh,
-                                 mesh: Mesh) -> HitRecord:
+def geometry_sharded_closest_hit(ray_global: Ray, geo: ShardedGeometry,
+                                 mesh: Mesh,
+                                 interpret: bool = False) -> HitRecord:
     """Host-level entry: rays tile-sharded, geometry shard per device.
 
     ``ray_global``: flat (N, 3) components, N divisible by mesh size.
-    ``sharded_mesh``: from shard_mesh() — leading (D,) axis on face arrays.
-    Differentiable w.r.t. sharded_mesh.vertices via the recompute pass.
+    Differentiable w.r.t. geo.soup.{v1,e1,e2} via each hop's recompute.
     """
     axis = mesh.axis_names[0]
 
-    def inner(ray, verts, faces, geom_ids):
-        # shard_map delivers the (D, ...) leading shard axis as a size-1 block
-        verts = verts[0]
-        faces = faces[0]
-        geom_ids = geom_ids[0]
-        sg = jax.lax.stop_gradient
-        hit = ring_closest_hit_local(
-            Ray(sg(ray.ori), sg(ray.dir)), sg(verts), faces, geom_ids, axis)
-        t, u, v = ring_recompute_local(ray, hit, verts, faces, axis)
-        return HitRecord(
-            hit=hit.hit,
-            t=jnp.where(hit.hit, t, FLT_MAX),
-            prim_id=hit.prim_id, geom_id=hit.geom_id,
-            u=jnp.where(hit.hit, u, 0.0), v=jnp.where(hit.hit, v, 0.0),
-        )
+    def inner(ray, geo_blk):
+        geo1 = jax.tree_util.tree_map(lambda x: x[0], geo_blk)
+        return ring_closest_hit_local(
+            ray, geo1.soup, geo1.bvh, geo1.shard_lo, geo1.shard_hi,
+            geo.backend, axis, interpret)
 
     fn = jax.shard_map(
-        inner, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        inner, mesh=mesh, in_specs=(P(axis), P(axis)),
         out_specs=P(axis), check_vma=False)
-    return fn(ray_global, sharded_mesh.vertices, sharded_mesh.faces,
-              sharded_mesh.geom_ids)
+    return fn(ray_global, geo)
+
+
+def geometry_sharded_any_hit(ray_global: Ray, max_t, geo: ShardedGeometry,
+                             mesh: Mesh,
+                             interpret: bool = False) -> HitRecord:
+    axis = mesh.axis_names[0]
+
+    def inner(ray, mt, geo_blk):
+        geo1 = jax.tree_util.tree_map(lambda x: x[0], geo_blk)
+        return ring_any_hit_local(
+            ray, mt, geo1.soup, geo1.bvh, geo1.shard_lo, geo1.shard_hi,
+            geo.backend, axis, interpret)
+
+    mt = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32),
+                          ray_global.batch_shape)
+    fn = jax.shard_map(
+        inner, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis), check_vma=False)
+    return fn(ray_global, mt, geo)
+
+
+# --------------------------------------------------------------------------
+# Back-compat shim for the round-1 API (replicated-vertex face split).
+
+
+def shard_mesh(mesh, n_shards: int) -> ShardedGeometry:
+    """Deprecated round-1 name: now spatial sharding with local buffers."""
+    return shard_geometry(mesh, n_shards, backend="brute")

@@ -9,13 +9,14 @@ with a comparable triangle count.
 """
 
 from visionaray_tpu.scenes.basic import (
-    tri_sphere_plane, cornell_box, random_triangles,
+    tri_sphere_plane, cornell_box, cornell_box_spectral, random_triangles,
 )
 from visionaray_tpu.scenes.teapot import teapot_scene, teapot_mesh
 from visionaray_tpu.scenes.sponza_like import sponza_like_scene
 from visionaray_tpu.scenes.volume_demo import volume_scene
 
 __all__ = [
-    "tri_sphere_plane", "cornell_box", "random_triangles",
-    "teapot_scene", "teapot_mesh", "sponza_like_scene", "volume_scene",
+    "tri_sphere_plane", "cornell_box", "cornell_box_spectral",
+    "random_triangles", "teapot_scene", "teapot_mesh",
+    "sponza_like_scene", "volume_scene",
 ]

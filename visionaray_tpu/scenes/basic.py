@@ -111,6 +111,33 @@ def cornell_box(light_scale: float = 1.0):
     return scene, cam
 
 
+def cornell_box_spectral(n_samples: int = 60, light_scale: float = 1.0):
+    """The Cornell box with the MEASURED wall/light SPDs (config #3's
+    spectral variant; reference detail/spd/*).
+
+    Lifts the RGB scene to n_samples wavelengths, then swaps in the true
+    Cornell white/red/green reflectance curves and the measured light SPD —
+    the case spectral rendering exists for (an RGB lift cannot express
+    them).  Render with algo="pathtracing"; the kernel folds back through
+    the CIE observer.
+    """
+    import dataclasses
+    import jax.numpy as jnp
+    from visionaray_tpu.shading import spectrum as sp
+
+    scene, cam = cornell_box(light_scale=light_scale)
+    scene = sp.lift_scene(scene, n_samples)
+    lam = sp.lambdas(n_samples)
+    cd = jnp.stack([sp.cornell_white(lam), sp.cornell_red(lam),
+                    sp.cornell_green(lam), jnp.zeros_like(lam)])
+    light_spd = sp.cornell_light(lam)
+    # normalize the lamp SPD to keep overall brightness near the RGB scene
+    light_spd = light_spd / jnp.max(light_spd)
+    ce = jnp.concatenate([jnp.zeros((3, n_samples)), light_spd[None]])
+    mats = dataclasses.replace(scene.materials, cd=cd, ce=ce)
+    return dataclasses.replace(scene, materials=mats), cam
+
+
 def random_triangles(n: int, seed: int = 0, extent: float = 10.0,
                      tri_size: float = 0.35):
     """Deterministic random triangle soup (builder/traversal stress tests;

@@ -193,15 +193,26 @@ def render(scene, cam, width: int, height: int, algo: str = "simple",
            epsilon: Optional[float] = None, bg_color=(0.1, 0.4, 1.0, 1.0),
            ambient: Optional[tuple] = None, pixel_sampler: Optional[str] = None,
            frame_num: int = 1, seed: int = 0, tile_size: int = 0,
-           rt: Optional[RenderTarget] = None, nee: bool = False):
+           rt: Optional[RenderTarget] = None, nee: bool = False,
+           spectral: int = 0):
     """Render one frame; the call_kernel analogue (src/common/call_kernel.h).
 
     Defaults mirror the viewer (viewer.cpp:489-496): bounces 4 (10 for PT),
     ambient 0 (1 for PT), epsilon from scene diagonal; PT uses the
     jittered_blend progressive sampler with alpha = 1/frame_num.
 
+    ``spectral`` = N > 0: lift the scene to N-sample SPDs and path trace
+    per-wavelength, folding back through the CIE observer for display (the
+    VSNRAY_SPECTRUM_RGB toggle, spectrum.h:17; pathtracing only).  Scenes
+    whose materials already carry SPD channels (cornell_box_spectral) run
+    spectrally without this flag.
+
     Returns a RenderTarget (pass ``rt`` for progressive accumulation).
     """
+    if spectral:
+        assert algo == "pathtracing", "spectral mode is a pathtracing mode"
+        from visionaray_tpu.shading.spectrum import lift_scene
+        scene = lift_scene(scene, spectral)
     if bounces is None:
         bounces = 10 if algo == "pathtracing" else 4
     if ambient is None:

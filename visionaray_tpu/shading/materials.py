@@ -228,6 +228,20 @@ class Materials:
     def is_emissive(self):
         return self.mtype == MaterialType.EMISSIVE
 
+    def to_spectral(self, n: int = 300) -> "Materials":
+        """Lift every color field from RGB to an n-sample SPD.
+
+        The analogue of compiling the reference with VSNRAY_SPECTRUM_RGB
+        unset (spectrum.h:17,32-37): the material color type switches to
+        spectrum<T> and all shading algebra runs per-wavelength.  The
+        shade/sample math here is channel-count agnostic, so lifting the
+        SoA color fields is the whole switch.
+        """
+        import dataclasses
+        from visionaray_tpu.shading.spectrum import from_rgb
+        lift = {f: from_rgb(getattr(self, f), n) for f in _VEC_FIELDS}
+        return dataclasses.replace(self, **lift)
+
     def is_specular(self):
         """Delta-BSDF types (mirror): sample() picks one exact direction and
         shade() returns 0 for any other (brdf.h:177-185), so NEE cannot see

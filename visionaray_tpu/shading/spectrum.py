@@ -128,6 +128,29 @@ def from_rgb(rgb, n: int = NUM_SAMPLES):
 
 # --- SPDs ------------------------------------------------------------------
 
+def lift_scene(scene, n: int = NUM_SAMPLES):
+    """Switch a scene to spectral mode: every material and light color is
+    lifted from RGB to an n-sample SPD (the VSNRAY_SPECTRUM_RGB toggle,
+    spectrum.h:17).  Geometry/BVH/textures are untouched; the path tracer
+    detects the channel count from materials.cd and folds the accumulated
+    spectrum back through to_rgb for display.
+    """
+    import dataclasses
+    import jax
+
+    mats = scene.materials.to_spectral(n)
+
+    def lift_lights(lights):
+        if isinstance(lights, (tuple, list)):
+            return type(lights)(lift_lights(l) for l in lights)
+        if lights is None or getattr(lights, "num_lights", 0) == 0:
+            return lights
+        return dataclasses.replace(lights, cl=from_rgb(lights.cl, n))
+
+    return dataclasses.replace(scene, materials=mats,
+                               lights=lift_lights(scene.lights))
+
+
 def blackbody(temperature, lam):
     """Planck spectral radiance (W/m^2/sr/micron), lambda in nm
     (detail/spd/blackbody.h:26-37)."""

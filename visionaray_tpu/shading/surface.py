@@ -99,7 +99,10 @@ def get_surface(hit: HitRecord, ray: Ray, scene) -> Surface:
         # into the gathered per-ray material rows gives the same algebra to
         # shade(), sample() and NEE in one place
         import dataclasses
-        mats = dataclasses.replace(mats, cd=mats.cd * tex_color,
-                                   ce=mats.ce * tex_color)
+        tc = tex_color
+        if mats.cd.shape[-1] != 3:   # spectral mode: lift the RGB texel
+            from visionaray_tpu.shading.spectrum import from_rgb
+            tc = from_rgb(tc, mats.cd.shape[-1])
+        mats = dataclasses.replace(mats, cd=mats.cd * tc, ce=mats.ce * tc)
     return Surface(geometric_normal=geom_n, shading_normal=shade_n,
                    tex_color=tex_color, materials=mats)

@@ -81,3 +81,50 @@ class MetricsLog:
             with open(self.path, "a") as f:
                 f.write(json.dumps(record) + "\n")
         return record
+
+
+def bounce_histogram(params, ray, sampler, nee: bool = False):
+    """Per-bounce live-lane counts for a PT batch (SURVEY §5 observability:
+    "bounce histogram").  Runs the bounce loop once, counting lanes still
+    active entering each bounce — the wavefront occupancy curve that tells
+    you how much of the traversal work later bounces actually carry."""
+    import jax
+    import jax.numpy as jnp
+
+    from visionaray_tpu.core.types import Ray
+    from visionaray_tpu.ops.trace import closest_hit
+    from visionaray_tpu.shading.surface import get_surface
+    from visionaray_tpu.core.vecmath import faceforward
+
+    scene = params.scene
+    eps = params.epsilon
+
+    def body(carry, _):
+        ray, samp, active = carry
+        hit = closest_hit(ray, scene)
+        count = jnp.sum(active)
+        active = active & hit.hit
+        surf = get_surface(hit, ray, scene)
+        view_dir = -ray.dir
+        n = faceforward(surf.shading_normal, view_dir,
+                        surf.geometric_normal)
+        (u_lobe, u1, u2), samp = samp.next_n(3)
+        src, wi, pdf = surf.materials.sample(n, view_dir, u_lobe, u1, u2)
+        active = active & ~surf.materials.is_emissive() & (pdf > 0.0)
+        pos = ray.at(jnp.where(hit.hit, hit.t, 1.0))
+        return (Ray(ori=pos + wi * eps, dir=wi), samp, active), count
+
+    init = (ray, sampler, jnp.ones(ray.batch_shape, jnp.bool_))
+    _, counts = jax.lax.scan(body, init, None, length=params.num_bounces)
+    return counts  # (num_bounces,) live lanes entering each bounce
+
+
+def scaling_efficiency(mrays_by_devices: dict) -> dict:
+    """Efficiency table vs linear scaling from the smallest measured mesh.
+
+    ``mrays_by_devices``: {n_devices: mrays_per_s}.  Returns
+    {n: efficiency_percent} with the smallest n as the 100% anchor — the
+    north-star's ">=80% linear 1->4 hosts" check."""
+    base_n = min(mrays_by_devices)
+    base = mrays_by_devices[base_n] / base_n
+    return {n: 100.0 * (v / n) / base for n, v in mrays_by_devices.items()}
