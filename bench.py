@@ -2,17 +2,20 @@
 """Benchmark: Mrays/s/chip fwd+bwd, sponza-class scene, 1080p path tracing.
 
 The BASELINE.json north-star metric.  The reference publishes no numbers
-(BASELINE.md); ``vs_baseline`` is therefore measured against this repo's own
-scalar-CPU oracle throughput (tests/oracle.py — the stand-in for "Visionaray
-CPU reference" on this machine), measured once and pinned below.
+(BASELINE.md); ``vs_baseline`` is measured against the ACTUAL reference
+library's tiled+SIMD CPU pathtracer (native/ref_harness.cpp bench mode:
+AVX2 float8 packets, all host threads) on the SAME scene / resolution /
+bounce count on this machine, pinned below.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N, ...}
 
 Ray accounting: pixels * spp * num_bounces * 2 rays per frame (the PT
 kernel with next-event estimation traces one closest-hit and one shadow
-ray per bounce for every live-or-masked lane).  fwd+bwd = the full
-value_and_grad step with gradients w.r.t. vertices + albedo.
+ray per bounce for every live-or-masked lane).  The reference kernel has
+no NEE, so its Mrays/s counts 1 ray per bounce — and it is forward-only,
+while this number is the full value_and_grad step (gradients w.r.t.
+vertices + albedo).  Both sides' accounting is in `detail`.
 """
 
 from __future__ import annotations
@@ -23,11 +26,12 @@ import os
 import sys
 import time
 
-# Measured once on this machine: tests/oracle.py (numpy, vectorized over
-# pixels) traces ~1.23 Mrays/s on the CPU (whitted, 3-prim scene — an upper
-# bound for the oracle: it has no BVH, so 260k tris would be ~5 orders
-# slower).  Provenance: `python -m tests.bench_oracle`.
-CPU_ORACLE_MRAYS = 1.23
+# Measured on this host (2 cores): `ref_harness bench` on the dumped
+# sponza_like_scene(260k), 1920x1080, 5 bounces — the reference's own
+# tiled_sched + pathtracing::kernel + index_bvh, forward only.
+# {"metric": "reference_cpu_pathtracing", "mrays_per_s": 1.79, ...}
+# Reproduce: python -c "from tests.ref_harness import bench_reference; ..."
+REF_CPU_MRAYS = 1.79
 
 WIDTH, HEIGHT = 1920, 1080
 SPP = 1
@@ -52,12 +56,14 @@ def main():
     scene, cam = sponza_like_scene(target_tris=TARGET_TRIS, build_bvh=False)
     n_tris = scene.num_triangles
 
-    # Pallas fast path: ClusterBVH (SMEM-resident top tree)
+    # Pallas fast path: treelet-built ClusterBVH (SMEM-resident top tree;
+    # treelets enable binned traversal of incoherent bounce rays — K=32 /
+    # T=128 / m=8 measured optimal on this scene, docs/PERF.md)
     import dataclasses as _dc
     from visionaray_tpu.ops.pallas.cluster_bvh import build_cluster_bvh
     scene = _dc.replace(scene, bvh=jax.jit(
-        build_cluster_bvh, static_argnames=("cluster_size",))(
-            scene.mesh, cluster_size=32))
+        build_cluster_bvh, static_argnames=("cluster_size", "treelet_size"))(
+            scene.mesh, cluster_size=32, treelet_size=128))
 
     from visionaray_tpu.sched.render import _pixel_grid, render_pixels
 
@@ -122,21 +128,28 @@ def main():
     rays = WIDTH * HEIGHT * SPP * BOUNCES * (2 if NEE else 1)
     mrays = rays / sec_per_step / 1e6
     print(json.dumps({
-        "metric": "sponza_like_260k_1080p_pt_fwd_bwd",
+        "metric": "sponza_like_260k_1080p_pt_fwd_bwd"
+                  + ("_nee" if NEE else ""),
         "value": round(mrays, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / CPU_ORACLE_MRAYS, 2),
+        "vs_baseline": round(mrays / REF_CPU_MRAYS, 2),
         "detail": {
             "device": str(dev),
             "tris": int(n_tris),
             "bounces": BOUNCES,
             "spp": SPP,
+            "nee": NEE,
+            "rays_per_frame": rays,
             "step_ms": round(sec_per_step * 1e3, 2),
             "compile_s": round(compile_s, 1),
             "loss": float(loss),
             "grad_finite": bool(all(
                 jnp.isfinite(g).all() for g in grads)),
-            "baseline_source": "tests/oracle.py scalar CPU tracer on this host",
+            "baseline_source": "reference tiled_sched+AVX2 pathtracer, "
+                               "same scene/res/bounces, this host "
+                               "(native/ref_harness.cpp bench; fwd only, "
+                               "no NEE: 1 ray/bounce accounting)",
+            "baseline_mrays": REF_CPU_MRAYS,
         },
     }))
     return 0

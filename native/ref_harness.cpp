@@ -283,6 +283,12 @@ static int bench_main(SceneData& s, unsigned bounces, int frames)
 #endif
     unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
     tiled_sched<ray_t> sched(nthreads);
+    // Upstream race workaround: tiled_sched workers wait on a condition
+    // variable with NO predicate (detail/tiled_sched.inl:181), so a
+    // frame() whose notify_all() beats a worker to its wait deadlocks the
+    // whole pool (observed on this 2-core host).  Give the workers time
+    // to park before the first frame.
+    std::this_thread::sleep_for(std::chrono::milliseconds(500));
 
     unsigned frame_num = 0;
     // warm-up frame (thread pool spin-up, page faults)

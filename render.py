@@ -76,6 +76,10 @@ def main(argv=None):
     p.add_argument("--bvh", choices=["lbvh", "cluster"], default="lbvh",
                    help="acceleration structure: lbvh (jnp tier, runs "
                         "anywhere) or cluster (Pallas TPU fast path)")
+    p.add_argument("--treelet", type=int, default=-1,
+                   help="ClusterBVH treelet size for binned incoherent-ray "
+                        "traversal (-1 = auto: 128 for pathtracing, off "
+                        "otherwise; 0 = off)")
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation for pathtracing (soft "
                         "shadows / direct light sampling)")
@@ -106,9 +110,15 @@ def main(argv=None):
     if args.bvh == "cluster" and scene.mesh is not None and not args.no_bvh:
         import dataclasses
         from visionaray_tpu.ops.pallas.cluster_bvh import build_cluster_bvh
+        # treelets enable binned traversal of incoherent bounce rays — the
+        # path-tracing fast path (docs/PERF.md: T=128 measured optimal)
+        tsize = args.treelet if args.treelet >= 0 else (
+            128 if args.algorithm == "pathtracing" else 0)
         scene = dataclasses.replace(
-            scene, bvh=jax.jit(build_cluster_bvh,
-                               static_argnames=("cluster_size",))(scene.mesh))
+            scene, bvh=jax.jit(
+                build_cluster_bvh,
+                static_argnames=("cluster_size", "treelet_size"))(
+                    scene.mesh, treelet_size=tsize))
     if cam is None or args.eye is not None or args.camera is not None:
         from visionaray_tpu.core.camera import Pinhole
         if args.camera:

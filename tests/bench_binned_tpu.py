@@ -28,6 +28,10 @@ T = int(os.environ.get("T", 32))
 M = int(os.environ.get("M", 8))
 N = 1 << int(os.environ.get("N", 20))
 MODE = os.environ.get("MODE", "binned")  # binned | global | both
+if "ROWS" in os.environ:       # tile geometry sweep
+    trav.TILE_ROWS = int(os.environ["ROWS"])
+if "IL" in os.environ:
+    trav.INTERLEAVE = int(os.environ["IL"])
 
 scene, cam = sponza_like_scene(target_tris=260_000, build_bvh=False)
 mesh = scene.mesh

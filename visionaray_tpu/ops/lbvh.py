@@ -35,20 +35,37 @@ import numpy as np
 from visionaray_tpu.core.types import pytree_dataclass
 
 
-@pytree_dataclass
+@pytree_dataclass(static=("max_leaf_size",))
 class BVH:
-    """Flat SoA BVH over one primitive group."""
+    """Flat SoA BVH over one primitive group.
 
-    node_lo: Any    # (2N-1, 3) f32
-    node_hi: Any    # (2N-1, 3) f32
-    left: Any       # (N-1,) i32 child node index
-    right: Any      # (N-1,) i32
-    parent: Any     # (2N-1,) i32 (root = -1); for refit/traverse_parents
-    prim_ids: Any   # (N,) i32 sorted primitive order
+    Two leaf conventions share this container:
+    - 1:1 (LBVH, plain SAH): ``leaf_first is None``; leaf slot s owns
+      primitive ``prim_ids[s]`` — N leaves, N prims.
+    - generalized (SBVH, ops/sah.py:build_sbvh): leaf slot s covers
+      ``prim_ids[leaf_first[s] : leaf_first[s]+leaf_count[s]]``; spatial
+      splits may reference one primitive from several leaves, so
+      ``len(prim_ids) >= num_leaves`` (reference: sah.h:430-615 spatial
+      duplication, build.inl:139 max_leaf_size).
+    """
+
+    node_lo: Any    # (2L-1, 3) f32
+    node_hi: Any    # (2L-1, 3) f32
+    left: Any       # (L-1,) i32 child node index
+    right: Any      # (L-1,) i32
+    parent: Any     # (2L-1,) i32 (root = -1); for refit/traverse_parents
+    prim_ids: Any   # 1:1 -> (L,) i32; generalized -> (R,) i32 refs
+    leaf_first: Any = None   # (L,) i32 or None (1:1 convention)
+    leaf_count: Any = None   # (L,) i32 or None
+    max_leaf_size: int = 1   # static bound on leaf_count
 
     @property
     def num_prims(self):
         return self.prim_ids.shape[0]
+
+    @property
+    def num_leaves(self):
+        return (self.node_lo.shape[0] + 1) // 2
 
     @property
     def num_nodes(self):
@@ -243,10 +260,15 @@ def sah_cost(bvh: BVH, ci: float = 1.2, ct: float = 1.0) -> float:
     ext = np.maximum(hi - lo, 0.0)
     area = 2.0 * (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
                   + ext[:, 2] * ext[:, 0])
-    n = bvh.num_prims
-    root_area = max(float(area[0] if n > 1 else area[-1]), 1e-30)
-    internal = area[: n - 1].sum() / root_area if n > 1 else 0.0
-    leaves = area[n - 1:].sum() / root_area
+    nl = bvh.num_leaves
+    root_area = max(float(area[0] if nl > 1 else area[-1]), 1e-30)
+    internal = area[: nl - 1].sum() / root_area if nl > 1 else 0.0
+    if bvh.leaf_count is None:
+        leaves = area[nl - 1:].sum() / root_area
+    else:
+        # generalized leaves: each leaf pays ci per primitive it holds
+        cnt = np.asarray(bvh.leaf_count, np.float64)
+        leaves = (area[nl - 1:] * cnt).sum() / root_area
     return float(ct * internal + ci * leaves)
 
 

@@ -703,6 +703,12 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
     Ppad = n_groups * chunk * INTERLEAVE
     n_tiles = Ppad // chunk
 
+    # static across rounds: direction octant + per-pair index payload
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    octant = ((d[:, 0] < 0).astype(jnp.uint32)
+              + ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+              + ((d[:, 2] < 0).astype(jnp.uint32) << 2))
+
     def round_fn(r, carry):
         bt, bp, bu, bv = carry
         ent_r = jax.lax.dynamic_slice_in_dim(ent, r, 1, axis=1)[:, 0]
@@ -711,46 +717,73 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
         live = jnp.isfinite(ent_r) & (ent_r < cap)
         if any_hit:
             live = live & (bp < 0.0)  # already occluded: skip all rounds
+        # whole-round skip: once best-t culling kills every pair of round
+        # r, rounds r+1.. are dead too on typical (occluded) workloads —
+        # the branch saves their full sort+route+kernel cost at run time
+        return jax.lax.cond(jnp.any(live), _round_live,
+                            lambda c, *_: c, carry, live, ent_r, slot_r,
+                            cap)
+
+    def _round_live(carry, live, ent_r, slot_r, cap):
+        bt, bp, bu, bv = carry
         ent_c = jnp.where(live, ent_r, 0.0)
         op = o + d * ent_c[:, None]
         mtp = jnp.where(live, cap - ent_c, -1.0)
 
         # sort: treelet-major (dead rays last), within a treelet by
-        # direction octant + entry-point morton so hulls stay tight
+        # direction octant + entry-point morton so hulls stay tight.
+        # lax.sort with the index as payload — one pass, no argsort+take.
         q = jnp.clip((op - root_lo) / ext, 0.0, 1.0)
         mor = morton3d(q).astype(jnp.uint32) >> 11      # top 19 bits
-        octant = ((d[:, 0] < 0).astype(jnp.uint32)
-                  + ((d[:, 1] < 0).astype(jnp.uint32) << 1)
-                  + ((d[:, 2] < 0).astype(jnp.uint32) << 2))
         skey = jnp.where(live, jnp.where(slot_r < 0, S, slot_r),
                          S + 1).astype(jnp.uint32)
         key = (skey << jnp.uint32(22)) | (octant << jnp.uint32(19)) | mor
-        perm = jnp.argsort(key)
-        skey_s = jnp.take(skey, perm)
+        key_s, perm = jax.lax.sort((key, iota_n), num_keys=1,
+                                   is_stable=True)
+        skey_s = key_s >> jnp.uint32(22)
 
         # aligned segment layout: value s (treelet 0..S-1, S = whole-tree)
-        # starts at a tile boundary and owns ceil(count_s / chunk) tiles
+        # starts at a tile boundary and owns ceil(count_s / chunk) tiles.
+        # Per-element destinations come from a boundary cumsum over the
+        # SORTED keys — dest_j = j + (padding inserted at every segment
+        # boundary before j) — instead of per-element table gathers, which
+        # profiled at 40-290 ms per 1M-element 1-D gather (the round-2
+        # binning glue was 75% of the traversal step before this).
+        bnd = jnp.concatenate([jnp.zeros((1,), jnp.bool_),
+                               skey_s[1:] != skey_s[:-1]])
+        seg_start = jax.lax.cummax(jnp.where(bnd, iota_n, 0))
+        prev_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), seg_start[:-1]])
+        pad_here = jnp.where(bnd, (-(iota_n - prev_start)) % chunk, 0)
+        dest = iota_n + jnp.cumsum(pad_here)
+        dest = jnp.where(skey_s <= S, dest, Ppad)       # dead -> dropped
+
+        # segment table only for the (n_tiles,)-sized tile-root lookup
         seg = jnp.searchsorted(skey_s,
                                jnp.arange(S + 2, dtype=jnp.uint32))
         count = seg[1: S + 2] - seg[: S + 1]            # values 0..S
         aligned = ((count + chunk - 1) // chunk) * chunk
         astart = jnp.concatenate([
             jnp.zeros((1,), aligned.dtype), jnp.cumsum(aligned)])  # (S+2,)
-        j = jnp.arange(n, dtype=jnp.int32)
-        skey_i = jnp.minimum(skey_s, S + 1).astype(jnp.int32)
-        dest = (jnp.take(astart, jnp.minimum(skey_i, S)).astype(jnp.int32)
-                + (j - jnp.take(seg, jnp.minimum(skey_i, S))
-                   .astype(jnp.int32)))
-        dest = jnp.where(skey_i <= S, dest, Ppad)       # dead -> dropped
-        src = jnp.full((Ppad,), -1, jnp.int32).at[dest].set(
-            j, mode="drop")
-        dead = src < 0
-        srcc = jnp.maximum(src, 0)
-        pair_of_lane = jnp.take(perm, srcc)    # lane -> original pair
-        gather = lambda a: jnp.take(a, pair_of_lane, axis=0)
-        op_k = jnp.where(dead[:, None], 0.0, gather(op))
-        d_k = jnp.where(dead[:, None], 1.0, gather(d))
-        mt_k = jnp.where(dead, -1.0, jnp.take(mtp, pair_of_lane))
+
+        # lane -> original pair in ONE scatter (scatter perm itself), then
+        # ONE 32-byte-row gather of the fused per-pair table instead of
+        # three narrow 1-D gathers (same fast path as the corner table:
+        # 32B-aligned power-of-two rows).  An (n,8)-row-scatter routing
+        # variant (touch n rows twice instead of gathering Ppad rows)
+        # measured 40% SLOWER — TPU row scatters cost more per row than
+        # row gathers.
+        src_pair = jnp.full((Ppad,), -1, jnp.int32).at[dest].set(
+            perm, mode="drop")
+        dead = src_pair < 0
+        srcc = jnp.maximum(src_pair, 0)
+        tbl8 = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
+                          d[:, 0], d[:, 1], d[:, 2], ent_c, mtp], axis=1)
+        g8 = jnp.take(tbl8, srcc, axis=0)               # (Ppad, 8)
+        op_k = jnp.where(dead[:, None], 0.0,
+                         g8[:, 0:3] + g8[:, 3:6] * g8[:, 6:7])
+        d_k = jnp.where(dead[:, None], 1.0, g8[:, 3:6])
+        mt_k = jnp.where(dead, -1.0, g8[:, 7])
 
         # per-tile roots: the segment covering the tile's first lane
         # (segments are tile-aligned, so a tile never straddles two)
@@ -768,22 +801,22 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
             cbvh.cluster_size, any_hit=any_hit, interpret=interpret,
             tile_roots=tile_roots)
 
-        # route kernel outputs back: sorted pair j sits at lane dest[j]
-        # (dead pairs pointed at Ppad; clamp and mask via `live` below)
-        lane_of_sorted = jnp.minimum(dest, Ppad - 1)
-        inv = jnp.zeros_like(perm).at[perm].set(
-            jnp.arange(n, dtype=perm.dtype))
-        lane_of_pair = jnp.take(lane_of_sorted, inv)
-
-        unsort = lambda a: jnp.take(a.reshape(-1), lane_of_pair)
-        prim_r = unsort(prim_t)
+        # route kernel outputs back: pair perm[j] sits at lane dest[j] —
+        # ONE scatter builds pair->lane, ONE fused row gather un-sorts all
+        # four outputs (dead pairs pointed at Ppad; clamp, mask via `live`)
+        lane_of_pair = jnp.zeros((n,), jnp.int32).at[perm].set(
+            jnp.minimum(dest, Ppad - 1))
+        out4 = jnp.stack([t_t.reshape(-1), prim_t.reshape(-1),
+                          u_t.reshape(-1), v_t.reshape(-1)], axis=1)
+        res = jnp.take(out4, lane_of_pair, axis=0)      # (n, 4)
+        prim_r = res[:, 1]
         hit_r = live & (prim_r >= 0.0)
-        tg = ent_c + unsort(t_t)
+        tg = ent_c + res[:, 0]
         upd = hit_r & (tg < bt)
         bt = jnp.where(upd, tg, bt)
         bp = jnp.where(upd, prim_r, bp)
-        bu = jnp.where(upd, unsort(u_t), bu)
-        bv = jnp.where(upd, unsort(v_t), bv)
+        bu = jnp.where(upd, res[:, 2], bu)
+        bv = jnp.where(upd, res[:, 3], bv)
         return bt, bp, bu, bv
 
     init = (jnp.full((n,), FLT_MAX, jnp.float32),

@@ -32,40 +32,58 @@ STACK_DEPTH = 64
 
 def _traverse_one(o, d, node_lo, node_hi, left, right, tri_v1, tri_e1,
                   tri_e2, prim_ids, max_t, any_hit_mode: bool,
-                  hit_filter=None):
+                  hit_filter=None, leaf_first=None, leaf_count=None,
+                  max_leaf_size: int = 1):
     """Single-ray stack traversal; vmapped over the ray batch.
 
-    Returns (best_t, best_sorted_leaf, hit) where best_sorted_leaf is the
-    index into prim_ids of the winning primitive (-1 if none).
+    Returns (best_t, best_ref, hit) where best_ref is the index into
+    prim_ids of the winning primitive (-1 if none).
+
+    Leaves follow either BVH convention (ops/lbvh.BVH docstring): 1:1
+    (``leaf_first is None``: leaf slot s = prim_ids[s]) or generalized
+    multi-prim SBVH leaves (a static ``max_leaf_size``-bounded inner loop
+    over prim_ids[leaf_first[s] : +leaf_count[s]], the analogue of the
+    reference's leaf prim loop, detail/bvh/intersect.inl:108-129).
     """
-    n = prim_ids.shape[0]
-    leaf_base = n - 1
+    leaf_base = (node_lo.shape[0] + 1) // 2 - 1
+    n_refs = prim_ids.shape[0]
     inv_d = 1.0 / d
 
     stack = jnp.zeros((STACK_DEPTH,), jnp.int32)
     # state: (node, sp, stack, best_t, best_leaf, done)
-    root = jnp.int32(0 if n > 1 else leaf_base)
+    root = jnp.int32(0 if leaf_base > 0 else leaf_base)
     state = (root, jnp.int32(0), stack, jnp.float32(max_t),
              jnp.int32(-1), jnp.bool_(False))
 
     def cond(s):
         return ~s[5]
 
+    def leaf_prims(slot):
+        """Yield (ref_index, valid) pairs for a leaf slot (static count)."""
+        if leaf_first is None:
+            yield slot, jnp.bool_(True)
+        else:
+            first = leaf_first[slot]
+            cnt = leaf_count[slot]
+            for j in range(max_leaf_size):
+                yield (jnp.minimum(first + j, n_refs - 1), j < cnt)
+
     def body(s):
         node, sp, stack, best_t, best_leaf, done = s
         is_leaf = node >= leaf_base
 
-        # ---- leaf: intersect primitive, update best
-        sorted_idx = jnp.maximum(node - leaf_base, 0)
-        pid = prim_ids[sorted_idx]
-        t, u, v, hit = intersect_triangle(
-            o, d, tri_v1[pid], tri_e1[pid], tri_e2[pid])
-        if hit_filter is not None:
-            hit = hit_filter(pid, t, u, v, hit)
-        closer = is_leaf & hit & (t >= 0.0) & (t < best_t)
-        best_t = jnp.where(closer, t, best_t)
-        best_leaf = jnp.where(closer, sorted_idx, best_leaf)
-        found_any = closer & any_hit_mode
+        # ---- leaf: intersect its primitive(s), update best
+        slot = jnp.maximum(node - leaf_base, 0)
+        for ref, valid in leaf_prims(slot):
+            pid = prim_ids[ref]
+            t, u, v, hit = intersect_triangle(
+                o, d, tri_v1[pid], tri_e1[pid], tri_e2[pid])
+            if hit_filter is not None:
+                hit = hit_filter(pid, t, u, v, hit)
+            closer = is_leaf & valid & hit & (t >= 0.0) & (t < best_t)
+            best_t = jnp.where(closer, t, best_t)
+            best_leaf = jnp.where(closer, ref, best_leaf)
+        found_any = (best_leaf >= 0) & any_hit_mode
 
         # ---- internal: test both children (intersect.inl:64-101)
         lc = left[jnp.minimum(node, leaf_base - 1)]
@@ -108,19 +126,29 @@ def _traverse_one(o, d, node_lo, node_hi, left, right, tri_v1, tri_e1,
 def _traverse_batch(ray: Ray, bvh, mesh, max_t, any_hit_mode: bool,
                     hit_filter=None):
     v1, e1, e2 = mesh.corners()
-    if bvh.num_prims == 1:
-        # degenerate tree: intersect the single primitive directly
-        t, u, v, hit = intersect_triangle(ray.ori, ray.dir, v1[0], e1[0], e2[0])
-        if hit_filter is not None:
-            hit = hit_filter(jnp.zeros(t.shape, jnp.int32), t, u, v, hit)
-        valid = hit & (t >= 0.0) & (t < max_t)
-        return (jnp.where(valid, t, FLT_MAX),
-                jnp.where(valid, 0, -1).astype(jnp.int32), valid)
+    if bvh.num_nodes == 1:
+        # degenerate tree (one leaf): intersect its primitive(s) directly
+        bs = ray.batch_shape
+        best_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), bs)
+        best_ref = jnp.full(bs, -1, jnp.int32)
+        for ref in range(bvh.num_prims):
+            pid = bvh.prim_ids[ref]
+            t, u, v, hit = intersect_triangle(
+                ray.ori, ray.dir, v1[pid], e1[pid], e2[pid])
+            if hit_filter is not None:
+                hit = hit_filter(jnp.full(t.shape, pid), t, u, v, hit)
+            closer = hit & (t >= 0.0) & (t < best_t)
+            best_t = jnp.where(closer, t, best_t)
+            best_ref = jnp.where(closer, ref, best_ref)
+        valid = best_ref >= 0
+        return (jnp.where(valid, best_t, FLT_MAX), best_ref, valid)
     f = partial(_traverse_one,
                 node_lo=bvh.node_lo, node_hi=bvh.node_hi,
                 left=bvh.left, right=bvh.right,
                 tri_v1=v1, tri_e1=e1, tri_e2=e2, prim_ids=bvh.prim_ids,
-                any_hit_mode=any_hit_mode, hit_filter=hit_filter)
+                any_hit_mode=any_hit_mode, hit_filter=hit_filter,
+                leaf_first=bvh.leaf_first, leaf_count=bvh.leaf_count,
+                max_leaf_size=bvh.max_leaf_size)
     o = ray.ori.reshape(-1, 3)
     d = ray.dir.reshape(-1, 3)
     mt = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32),
@@ -253,6 +281,9 @@ def bvh_multi_hit(ray: Ray, bvh, mesh, k: int, max_t=FLT_MAX,
     Differentiable by recompute at each recorded primitive.
     """
     sg = jax.lax.stop_gradient
+    assert bvh.leaf_first is None, \
+        "multi_hit needs a 1:1-leaf BVH (lbvh/sah); SBVH spatial splits " \
+        "would record duplicated references"
     v1, e1, e2 = mesh.corners()
     f = partial(_traverse_one_multi,
                 node_lo=sg(bvh.node_lo), node_hi=sg(bvh.node_hi),

@@ -18,6 +18,7 @@ from __future__ import annotations
 from enum import IntEnum
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,6 +36,86 @@ class Filter(IntEnum):
     NEAREST = 0
     LINEAR = 1
     BSPLINE = 2
+    # BSpline evaluated over PREFILTERED coefficients so the spline
+    # interpolates the original texels (reference: forward.h:18-34
+    # BSplineInterpol + detail/prefilter.h; prefilter_bspline() below)
+    BSPLINE_INTERPOL = 3
+    # Catmull-Rom cardinal spline (reference: detail/filter/common.h:188-229)
+    CARDINAL_SPLINE = 4
+
+
+_POLE = float(np.sqrt(3.0) - 2.0)       # cubic B-spline IIR pole
+_LAMBDA = 6.0                            # gain (1-z)(1-1/z) for that pole
+
+
+def _cubic_weights(t, kind: int):
+    """4-tap weights at fractional position t in [0,1).
+
+    BSPLINE/BSPLINE_INTERPOL: Mitchell-Netravali B=1,C=0 (uniform cubic
+    B-spline, detail/filter/common.h:145-186).  CARDINAL_SPLINE:
+    Catmull-Rom (B=0,C=0.5, common.h:188-229) — interpolating but not
+    positive, so no prefilter pass is needed.
+    """
+    t2 = t * t
+    t3 = t2 * t
+    if kind == Filter.CARDINAL_SPLINE:
+        return (-0.5 * t3 + t2 - 0.5 * t,
+                1.5 * t3 - 2.5 * t2 + 1.0,
+                -1.5 * t3 + 2.0 * t2 + 0.5 * t,
+                0.5 * t3 - 0.5 * t2)
+    return ((1 - t) ** 3 / 6.0,
+            (3 * t3 - 6 * t2 + 4) / 6.0,
+            (-3 * t3 + 3 * t2 + 3 * t + 1) / 6.0,
+            t3 / 6.0)
+
+
+def _prefilter_axis(c, axis: int):
+    """Causal+anticausal IIR pass along `axis` (Unser's B-spline transform).
+
+    Reference: texture/detail/prefilter.h (the Ruijters CUDA-prefilter
+    variant: causal init by a 12-term horizon sum, anticausal init
+    pole/(pole-1) * last).  The reference's horizon loop re-reads element
+    0 before advancing (prefilter.h:41-46); this implements the standard
+    recurrence c+(0) = sum_k pole^k c(k) instead.
+    """
+    c = jnp.moveaxis(c, axis, 0)
+    n = c.shape[0]
+    hor = min(12, n)
+    zk = (_POLE ** np.arange(hor)).astype(np.float32)
+    y0 = _LAMBDA * jnp.tensordot(jnp.asarray(zk), c[:hor], axes=(0, 0))
+
+    def fwd(carry, x):
+        y = _LAMBDA * x + _POLE * carry
+        return y, y
+
+    _, ys = jax.lax.scan(fwd, y0, c[1:])
+    cp = jnp.concatenate([y0[None], ys], axis=0)
+
+    last = (_POLE / (_POLE - 1.0)) * cp[-1]
+
+    def bwd(carry, x):
+        y = _POLE * (carry - x)
+        return y, y
+
+    _, ys2 = jax.lax.scan(bwd, last, cp[:-1][::-1])
+    out = jnp.concatenate([last[None], ys2], axis=0)[::-1]
+    return jnp.moveaxis(out, 0, axis)
+
+
+def prefilter_bspline(texels, ndim: int | None = None):
+    """Convert texels to B-spline coefficients for BSPLINE_INTERPOL.
+
+    ``ndim``: number of leading spatial axes (default: all but a trailing
+    channel axis if the last dim is small).  Run once at texture upload —
+    the analogue of the reference's convert_to_bspline_coeffs pass over
+    each row/column/slice (prefilter.h:96-204).
+    """
+    if ndim is None:
+        ndim = texels.ndim - 1 if texels.shape[-1] <= 4 else texels.ndim
+    out = jnp.asarray(texels, jnp.float32)
+    for ax in range(ndim):
+        out = _prefilter_axis(out, ax)
+    return out
 
 
 def _resolve_coord(x, size, mode: int):
@@ -92,15 +173,10 @@ def tex2d(texels, u, v, filter: int = Filter.LINEAR,
         return ((1 - fx) * (1 - fy) * c00 + fx * (1 - fy) * c10
                 + (1 - fx) * fy * c01 + fx * fy * c11)
 
-    # Cubic B-spline: 4x4 taps with B-spline weights (texture/detail/filter)
-    def w(t):
-        t2 = t * t
-        t3 = t2 * t
-        return ((1 - t) ** 3 / 6.0, (3 * t3 - 6 * t2 + 4) / 6.0,
-                (-3 * t3 + 3 * t2 + 3 * t + 1) / 6.0, t3 / 6.0)
-
-    wx = w(fx)
-    wy = w(fy)
+    # Cubic 4x4 taps (texture/detail/filter/cubic.h); B-spline or
+    # Catmull-Rom weights per the filter mode
+    wx = _cubic_weights(fx, filter)
+    wy = _cubic_weights(fy, filter)
     out = 0.0
     for j in range(4):
         row = 0.0
@@ -121,11 +197,18 @@ def tex1d(texels, u, filter: int = Filter.LINEAR,
         return jnp.where(bx[..., None], texels[xi], border_value)
     x0 = jnp.floor(x).astype(jnp.int32)
     fx = (x - x0)[..., None]
-    xi0, b0 = _resolve_coord(x0, N, address_mode)
-    xi1, b1 = _resolve_coord(x0 + 1, N, address_mode)
-    c0 = jnp.where(b0[..., None], texels[xi0], border_value)
-    c1 = jnp.where(b1[..., None], texels[xi1], border_value)
-    return (1 - fx) * c0 + fx * c1
+
+    def fetch(xi):
+        xi2, b = _resolve_coord(xi, N, address_mode)
+        return jnp.where(b[..., None], texels[xi2], border_value)
+
+    if filter == Filter.LINEAR:
+        return (1 - fx) * fetch(x0) + fx * fetch(x0 + 1)
+    w = _cubic_weights(fx, filter)
+    out = 0.0
+    for i in range(4):
+        out = out + w[i] * fetch(x0 - 1 + i)
+    return out
 
 
 def tex3d(texels, u, v, w, filter: int = Filter.LINEAR,
@@ -150,7 +233,7 @@ def tex3d(texels, u, v, w, filter: int = Filter.LINEAR,
         out = fetch(jnp.floor(x + 0.5).astype(jnp.int32),
                     jnp.floor(y + 0.5).astype(jnp.int32),
                     jnp.floor(z + 0.5).astype(jnp.int32))
-    else:
+    elif filter == Filter.LINEAR:
         x0 = jnp.floor(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
         z0 = jnp.floor(z).astype(jnp.int32)
@@ -165,6 +248,23 @@ def tex3d(texels, u, v, w, filter: int = Filter.LINEAR,
                 for dx in (0, 1):
                     wx = fx if dx else (1 - fx)
                     out = out + wx * wy * wz * fetch(x0 + dx, y0 + dy, z0 + dz)
+    else:
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        z0 = jnp.floor(z).astype(jnp.int32)
+        wx = _cubic_weights((x - x0)[..., None], filter)
+        wy = _cubic_weights((y - y0)[..., None], filter)
+        wz = _cubic_weights((z - z0)[..., None], filter)
+        out = 0.0
+        for k in range(4):
+            plane = 0.0
+            for j in range(4):
+                row = 0.0
+                for i in range(4):
+                    row = row + wx[i] * fetch(x0 - 1 + i, y0 - 1 + j,
+                                              z0 - 1 + k)
+                plane = plane + wy[j] * row
+            out = out + wz[k] * plane
     return out[..., 0] if squeeze else out
 
 
@@ -199,7 +299,13 @@ class TextureAtlas:
                 img = img[ys][:, xs]
             tex[gid] = img[..., :3]
             enabled[gid] = True
-        return TextureAtlas(texels=jnp.asarray(tex),
+        texels = jnp.asarray(tex)
+        if int(filter) == int(Filter.BSPLINE_INTERPOL):
+            # prefilter at upload, like the reference's texture::reset()
+            # running convert_to_bspline_coeffs when the filter mode is
+            # BSplineInterpol (detail/prefilter.h:96-204)
+            texels = jax.vmap(lambda t: prefilter_bspline(t, ndim=2))(texels)
+        return TextureAtlas(texels=texels,
                             enabled=jnp.asarray(enabled),
                             filter=int(filter),
                             address_mode=int(address_mode))
@@ -231,9 +337,19 @@ def sample_scene_texture(atlas: TextureAtlas, geom_id, uv):
             yi2, _ = _resolve_coord(yi, H, atlas.address_mode)
             return atlas.texels[gid, yi2, xi2]
 
-        val = ((1 - fx) * (1 - fy) * fetch(x0, y0)
-               + fx * (1 - fy) * fetch(x0 + 1, y0)
-               + (1 - fx) * fy * fetch(x0, y0 + 1)
-               + fx * fy * fetch(x0 + 1, y0 + 1))
+        if atlas.filter == Filter.LINEAR:
+            val = ((1 - fx) * (1 - fy) * fetch(x0, y0)
+                   + fx * (1 - fy) * fetch(x0 + 1, y0)
+                   + (1 - fx) * fy * fetch(x0, y0 + 1)
+                   + fx * fy * fetch(x0 + 1, y0 + 1))
+        else:
+            wx = _cubic_weights(fx, atlas.filter)
+            wy = _cubic_weights(fy, atlas.filter)
+            val = 0.0
+            for j in range(4):
+                row = 0.0
+                for i in range(4):
+                    row = row + wx[i] * fetch(x0 - 1 + i, y0 - 1 + j)
+                val = val + wy[j] * row
     return jnp.where(atlas.enabled[gid][..., None], val,
                      jnp.ones_like(val))

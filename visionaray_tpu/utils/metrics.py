@@ -68,6 +68,29 @@ def frame_metrics(width: int, height: int, spp: int, bounces: int,
     }
 
 
+def memory_stats(compiled) -> dict:
+    """HBM / program memory of a compiled executable (compiler stats).
+
+    The SURVEY §5 "VMEM/HBM occupancy" observability field: pass the
+    result of ``jax.jit(f).lower(*args).compile()``.  Returns {} when the
+    backend exposes no analysis (e.g. CPU interpret paths).
+    """
+    try:
+        m = compiled.memory_analysis()
+    except Exception:
+        return {}
+    if m is None:
+        return {}
+    out = {}
+    for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+              "output_size_in_bytes", "alias_size_in_bytes",
+              "generated_code_size_in_bytes"):
+        v = getattr(m, k, None)
+        if v is not None:
+            out[k.replace("_in_bytes", "_mb")] = round(v / 2**20, 2)
+    return out
+
+
 class MetricsLog:
     """JSONL metrics emitter for benchmark runs."""
 
