@@ -38,7 +38,11 @@ SPP = 1
 BOUNCES = 5
 NEE = os.environ.get("BENCH_NEE", "1") == "1"
 TARGET_TRIS = 260_000
-TILE = 1 << 18  # 262144-ray tiles (bounds live memory incl. traversal stacks)
+# Whole frame in ONE tile: the binned traversal pads each round by
+# (num_treelets+1) kernel tiles, so bigger lax.map tiles amortize both
+# that padding and the per-round sort/route glue (measured ladder in
+# docs/PERF.md: 2^18 -> 17.2 s/step, 2^19 -> 8.4, 2^20 -> 7.2, 2^21 -> 6.9).
+TILE = 1 << 21
 REPS = 3
 
 
