@@ -15,7 +15,18 @@ kernel with next-event estimation traces one closest-hit and one shadow
 ray per bounce for every live-or-masked lane).  The reference kernel has
 no NEE, so its Mrays/s counts 1 ray per bounce — and it is forward-only,
 while this number is the full value_and_grad step (gradients w.r.t.
-vertices + albedo).  Both sides' accounting is in `detail`.
+vertices + albedo).  Both sides' accounting is in `detail`, which also
+carries the MATCHED comparison so the artifact is self-honest:
+
+- ``fwd_only_mrays``: this framework's forward-only render (no grad, no
+  NEE — the reference kernel's exact workload) at 1-ray/bounce accounting;
+  directly comparable to ``baseline_mrays``.
+- ``matched_accounting_ratio``: the full fwd+bwd step at the reference's
+  1-ray/bounce accounting, over the reference's forward-only Mrays/s —
+  i.e. "training steps per reference frame" (a value > 1 means one full
+  training step beats the reference's forward render frame-for-frame).
+- ``ref_frame_s`` vs ``step_s``: wall-clock seconds side by side.
+- ``compile_s`` tracked against ``compile_budget_s`` (VERDICT r2 #10).
 """
 
 from __future__ import annotations
@@ -44,6 +55,7 @@ TARGET_TRIS = 260_000
 # docs/PERF.md: 2^18 -> 17.2 s/step, 2^19 -> 8.4, 2^20 -> 7.2, 2^21 -> 6.9).
 TILE = 1 << 21
 REPS = 3
+COMPILE_BUDGET_S = 150.0   # one jit of the full step; r2 measured 103.7 s
 
 
 def main():
@@ -114,6 +126,26 @@ def main():
 
     step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
 
+    # forward-only, no NEE: the reference kernel's exact workload
+    # (pathtracing.inl has no next-event estimation), for fwd-vs-fwd
+    def fwd_frame(verts, cd, frame):
+        mesh2 = dataclasses.replace(params.scene.mesh, vertices=verts)
+        mats2 = dataclasses.replace(params.scene.materials, cd=cd)
+        scene2 = dataclasses.replace(params.scene, mesh=mesh2,
+                                     materials=mats2)
+        p2 = dataclasses.replace(params, scene=scene2)
+
+        def tile_fn(args):
+            tx, ty = args
+            color, _ = render_pixels(p2, cam, tx, ty, WIDTH, HEIGHT,
+                                     "pathtracing", SPP, "jittered_blend",
+                                     frame, nee=False)
+            return jnp.sum(color[..., :3])
+
+        return jnp.sum(jax.lax.map(tile_fn, (xt, yt)))
+
+    fwd = jax.jit(fwd_frame)
+
     verts = scene.mesh.vertices
     cd = scene.materials.cd
 
@@ -124,13 +156,28 @@ def main():
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    fwd(verts, cd, jnp.uint32(1)).block_until_ready()
+    fwd_compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     for i in range(REPS):
         loss, grads = step(verts, cd, jnp.uint32(i + 2))
     jax.block_until_ready((loss, grads))
     sec_per_step = (time.perf_counter() - t0) / REPS
 
+    t0 = time.perf_counter()
+    for i in range(REPS):
+        f = fwd(verts, cd, jnp.uint32(i + 2))
+    f.block_until_ready()
+    sec_per_fwd = (time.perf_counter() - t0) / REPS
+
     rays = WIDTH * HEIGHT * SPP * BOUNCES * (2 if NEE else 1)
     mrays = rays / sec_per_step / 1e6
+    # matched accounting: the reference counts 1 ray/bounce, forward only
+    rays_matched = WIDTH * HEIGHT * SPP * BOUNCES
+    fwd_only_mrays = rays_matched / sec_per_fwd / 1e6
+    step_mrays_matched = rays_matched / sec_per_step / 1e6
+    ref_frame_s = rays_matched / (REF_CPU_MRAYS * 1e6)
     print(json.dumps({
         "metric": "sponza_like_260k_1080p_pt_fwd_bwd"
                   + ("_nee" if NEE else ""),
@@ -145,7 +192,19 @@ def main():
             "nee": NEE,
             "rays_per_frame": rays,
             "step_ms": round(sec_per_step * 1e3, 2),
+            # --- matched-accounting comparison (self-honest artifact):
+            # reference = forward-only, no NEE, 1 ray/bounce
+            "step_s": round(sec_per_step, 3),
+            "ref_frame_s": round(ref_frame_s, 3),
+            "fwd_only_mrays": round(fwd_only_mrays, 3),
+            "fwd_only_vs_baseline": round(fwd_only_mrays / REF_CPU_MRAYS,
+                                          2),
+            "matched_accounting_ratio": round(
+                step_mrays_matched / REF_CPU_MRAYS, 2),
             "compile_s": round(compile_s, 1),
+            "fwd_compile_s": round(fwd_compile_s, 1),
+            "compile_budget_s": COMPILE_BUDGET_S,
+            "compile_over_budget": bool(compile_s > COMPILE_BUDGET_S),
             "loss": float(loss),
             "grad_finite": bool(all(
                 jnp.isfinite(g).all() for g in grads)),

@@ -25,7 +25,7 @@ AO_RADIUS_SCALE = 0.1  # fraction of scene diagonal
 def ao_kernel(params: KernelParams, ray: Ray, sampler: Sampler) -> ResultRecord:
     scene = params.scene
     eps = params.epsilon
-    hit_rec = closest_hit(ray, scene)
+    hit_rec = closest_hit(ray, scene, hit_filter=params.hit_filter)
     surf = get_surface(hit_rec, ray, scene)
     view_dir = -ray.dir
     n = faceforward(surf.shading_normal, view_dir, surf.geometric_normal)
@@ -43,7 +43,11 @@ def ao_kernel(params: KernelParams, ray: Ray, sampler: Sampler) -> ResultRecord:
         dir = normalize(sp[..., 0:1] * u + sp[..., 1:2] * v
                         + sp[..., 2:3] * n)
         occ_ray = Ray(ori=isect_pos + dir * eps, dir=dir)
-        occ = any_hit(occ_ray, scene, max_t=radius)
+        # missed lanes fire no occlusion ray (max_t = -1 drops them from
+        # the traversal kernel tiles)
+        occ = any_hit(occ_ray, scene,
+                      max_t=jnp.where(hit_rec.hit, radius, -1.0),
+                      hit_filter=params.hit_filter)
         return total + jnp.where(hit_rec.hit & ~occ.hit, 1.0, 0.0), samp
 
     total, _ = jax.lax.fori_loop(

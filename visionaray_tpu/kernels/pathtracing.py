@@ -34,7 +34,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from visionaray_tpu.core.types import Ray, ResultRecord
+from visionaray_tpu.core.types import FLT_MAX, Ray, ResultRecord
 from visionaray_tpu.core.vecmath import cross, faceforward, length, normalize
 from visionaray_tpu.kernels.params import KernelParams
 from visionaray_tpu.ops.sampling import Sampler
@@ -44,7 +44,7 @@ from visionaray_tpu.shading.surface import get_surface
 
 
 def _nee_direct(scene, surf, n, view_dir, isect_pos, eps, ua, ub, ul,
-                binned=False):
+                binned=False, mask=None, hit_filter=None):
     """One-sample next-event estimate of the direct term at isect_pos.
 
     Uniform light pick (pdf 1/total); area lights integrate over their
@@ -52,6 +52,12 @@ def _nee_direct(scene, surf, n, view_dir, isect_pos, eps, ua, ub, ul,
     the reference's pi convention, so the factor divides it back out);
     point/spot lights are delta lights whose intensity() already includes
     attenuation.
+
+    ``mask``: lanes whose direct term will be consumed (active &
+    non-emissive).  Lanes outside it — plus lanes facing away from the
+    light or behind an area light (shade()/g() are zero there) — fire NO
+    shadow ray (max_t = -1 drops them from the traversal kernel tiles);
+    previously every retired lane paid a full trace per bounce.
     """
     nc = scene.materials.cd.shape[-1]  # 3 = RGB, N = spectral mode
     groups = light_groups(scene.lights)
@@ -90,9 +96,14 @@ def _nee_direct(scene, surf, n, view_dir, isect_pos, eps, ua, ub, ul,
     to_light = P - isect_pos
     dist = length(to_light)
     wi = to_light / jnp.maximum(dist, 1e-12)[..., None]
+    fire = (jnp.sum(n * wi, axis=-1) > 0.0) & (g > 0.0)
+    if mask is not None:
+        fire = fire & mask
+    mt = jnp.where(fire, dist - 2.0 * eps, -1.0)
     shadow = any_hit(Ray(ori=isect_pos + wi * eps, dir=wi),
-                     scene, max_t=dist - 2.0 * eps, binned=binned)
-    visible = ~shadow.hit
+                     scene, max_t=mt, binned=binned,
+                     hit_filter=hit_filter)
+    visible = fire & ~shadow.hit
     direct = surf.materials.shade(n, view_dir, wi, I)
     return direct * (g * visible * float(total))[..., None]
 
@@ -123,7 +134,12 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
     def _bounce_step(params, carry, bounce, nee, binned):
         (ray, sampler, active, dst, acc, first_hit, first_t,
          prev_delta) = carry
-        hit_rec = closest_hit(ray, scene, binned=binned)
+        # live-ray compaction: retired lanes carry max_t = -1 and are
+        # dropped from the traversal kernel tiles (the TPU analogue of the
+        # reference's any(active_rays) early-out, pathtracing.inl:47-53)
+        hit_rec = closest_hit(ray, scene, binned=binned,
+                              max_t=jnp.where(active, FLT_MAX, -1.0),
+                              hit_filter=params.hit_filter)
 
         exited = active & ~hit_rec.hit
         if nee:
@@ -151,9 +167,11 @@ def pathtracing_kernel(params: KernelParams, ray: Ray,
 
         if nee:
             isect_pos0 = ray.at(jnp.where(hit_rec.hit, hit_rec.t, 1.0))
-            direct = _nee_direct(scene, surf, n, view_dir, isect_pos0,
-                                 eps, ua, ub, ul, binned=binned)
             take_d = active & ~emissive
+            direct = _nee_direct(scene, surf, n, view_dir, isect_pos0,
+                                 eps, ua, ub, ul, binned=binned,
+                                 mask=take_d,
+                                 hit_filter=params.hit_filter)
             acc = jnp.where(take_d[..., None], acc + dst * direct, acc)
             # emissive counts on the camera ray and after a delta (specular)
             # bounce — NEE cannot sample a light through a delta BSDF

@@ -22,7 +22,7 @@ from visionaray_tpu.shading.surface import get_surface
 
 def simple_kernel(params: KernelParams, ray: Ray, sampler=None) -> ResultRecord:
     scene = params.scene
-    hit_rec = closest_hit(ray, scene)
+    hit_rec = closest_hit(ray, scene, hit_filter=params.hit_filter)
     isect_pos = ray.at(jnp.where(hit_rec.hit, hit_rec.t, 1.0))
 
     surf = get_surface(hit_rec, ray, scene)

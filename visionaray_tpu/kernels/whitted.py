@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from visionaray_tpu.core.types import Ray, ResultRecord
+from visionaray_tpu.core.types import FLT_MAX, Ray, ResultRecord
 from visionaray_tpu.core.vecmath import faceforward, length, normalize
 from visionaray_tpu.kernels.params import KernelParams
 from visionaray_tpu.ops.trace import any_hit, closest_hit
@@ -31,7 +31,7 @@ def whitted_kernel(params: KernelParams, ray: Ray, sampler=None) -> ResultRecord
     bg3 = params.bg_color[:3]
     batch = ray.batch_shape
 
-    hit_rec0 = closest_hit(ray, scene)
+    hit_rec0 = closest_hit(ray, scene, hit_filter=params.hit_filter)
     first_hit = hit_rec0.hit
     first_t = hit_rec0.t
 
@@ -53,9 +53,14 @@ def whitted_kernel(params: KernelParams, ray: Ray, sampler=None) -> ResultRecord
                 light_dir = normalize(to_light)
                 shadow_ray = Ray(ori=isect_pos + light_dir * eps,
                                  dir=light_dir)
+                # only lanes that actually shade fire a shadow ray
+                # (max_t = -1 drops the rest from the kernel tiles)
+                fire = live & hit_rec.hit
                 shadow_rec = any_hit(shadow_ray, scene,
-                                     max_t=length(to_light))
-                lit = hit_rec.hit & ~shadow_rec.hit
+                                     max_t=jnp.where(fire,
+                                                     length(to_light), -1.0),
+                                     hit_filter=params.hit_filter)
+                lit = fire & ~shadow_rec.hit
                 intensity = lights.intensity(li, isect_pos)
                 clr = surf.materials.shade(n, view_dir, light_dir, intensity)
                 shaded = shaded + jnp.where(lit[..., None], clr, 0.0)
@@ -68,8 +73,12 @@ def whitted_kernel(params: KernelParams, ray: Ray, sampler=None) -> ResultRecord
         refl_dir, kr = surf.materials.specular_bounce(
             view_dir, surf.shading_normal)
         ray = Ray(ori=isect_pos + refl_dir * eps, dir=refl_dir)
-        next_rec = closest_hit(ray, scene)
         throughput = jnp.where(live, throughput * kr, throughput)
+        # only lanes whose reflection still carries weight trace on
+        cont = live & (throughput > eps)
+        next_rec = closest_hit(ray, scene,
+                               max_t=jnp.where(cont, FLT_MAX, -1.0),
+                               hit_filter=params.hit_filter)
         active = live & next_rec.hit
         return (ray, next_rec, color, throughput, active,
                 jnp.zeros_like(no_hit_scale))

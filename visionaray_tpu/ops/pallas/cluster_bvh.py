@@ -94,10 +94,6 @@ class ClusterBVH:
     treelet_lo: Any = None       # (S, 3) treelet AABBs (binning pass 1)
     treelet_hi: Any = None       # (S, 3)
     treelet_roots: Any = None    # (S,) i32 node-table rows of treelet roots
-    top_lca: Any = None          # (S, S) i32 node row of the lowest common
-                                 # ancestor of treelets [a..b] — per-tile
-                                 # start node for tiles spanning several
-                                 # adjacent treelets (binned traversal)
 
     @property
     def num_prims(self):
@@ -253,25 +249,6 @@ def _kd_sort(cent, levels: int):
     return perm
 
 
-def _heap_lca_table(S: int):
-    """(S, S) lowest-common-ancestor heap indices of the treelet level.
-
-    Treelet j is heap node (S-1)+j; walking both arguments up one level at
-    a time meets at the LCA after <= log2(S) steps (they start equal-depth).
-    """
-    x = jnp.broadcast_to((S - 1) + jnp.arange(S, dtype=jnp.int32)[:, None],
-                         (S, S))
-    y = jnp.broadcast_to((S - 1) + jnp.arange(S, dtype=jnp.int32)[None, :],
-                         (S, S))
-    for _ in range(max(1, int(np.log2(S)))):
-        up_x = (x - 1) >> 1
-        up_y = (y - 1) >> 1
-        step = x != y
-        x = jnp.where(step, up_x, x)
-        y = jnp.where(step, up_y, y)
-    return x
-
-
 def _build_kd_tree(v1, e1, e2, K: int, T: int) -> ClusterBVH:
     """Full kd build: triangles kd-sorted into 2^L clusters of K, the tree
     a complete binary heap over the clusters.
@@ -349,5 +326,4 @@ def _build_kd_tree(v1, e1, e2, K: int, T: int) -> ClusterBVH:
         treelet_lo=node_lo[S - 1: 2 * S - 1],
         treelet_hi=node_hi[S - 1: 2 * S - 1],
         treelet_roots=troot_rows,
-        top_lca=_heap_lca_table(S),
     )

@@ -111,8 +111,6 @@ def intersect_triangles_brute(ray: Ray, v1, e1, e2, geom_ids,
     e1c = e1p.reshape(n_chunks, _CHUNK, 3)
     e2c = e2p.reshape(n_chunks, _CHUNK, 3)
     gc = gp.reshape(n_chunks, _CHUNK)
-    valid_count = jnp.minimum(
-        jnp.arange(n_chunks + 1) * _CHUNK, F)  # unused; masking via pid below
 
     def body(best, chunk):
         ci, (cv1, ce1, ce2, cg) = chunk
@@ -175,7 +173,7 @@ _FILTER_RETRACE_CAP = 16  # matches the reference's multi_hit N<=16 bound
 
 
 def _cluster_closest_filtered(ray: Ray, cbvh, mesh, hit_filter,
-                              interpret: bool) -> HitRecord:
+                              interpret: bool, max_t=FLT_MAX) -> HitRecord:
     """Closest SURVIVING hit on the Pallas tier.
 
     The kernel has no per-leaf filter hook (filtering inside the consensus
@@ -196,10 +194,11 @@ def _cluster_closest_filtered(ray: Ray, cbvh, mesh, hit_filter,
     # winning primitive differentiably below — the same recompute pattern
     # as bvh_closest_hit
     sray = Ray(ori=sg(ray.ori), dir=sg(ray.dir))
+    mtb = sg(jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), batch))
 
     def trace(t0, excl, live):
         o = sray.ori + sray.dir * t0[..., None]
-        mt = jnp.where(live, FLT_MAX, -1.0)
+        mt = jnp.where(live, mtb - t0, -1.0)
         hr = cluster_closest_hit(Ray(ori=o, dir=sray.dir), cbvh, mesh,
                                  max_t=mt, interpret=interpret)
         # exclude the previously rejected primitive explicitly
@@ -232,7 +231,7 @@ def _cluster_closest_filtered(ray: Ray, cbvh, mesh, hit_filter,
         return new_best, t0, excl, rejected, k + 1
 
     init = (HitRecord.none(batch), jnp.zeros(batch, jnp.float32),
-            jnp.full(batch, -1, jnp.int32), jnp.ones(batch, jnp.bool_),
+            jnp.full(batch, -1, jnp.int32), mtb > 0.0,
             jnp.int32(0))
     best, _, _, _, _ = jax.lax.while_loop(
         lambda s: jnp.any(s[3]) & (s[4] < _FILTER_RETRACE_CAP), step, init)
@@ -255,7 +254,8 @@ def _cluster_closest_filtered(ray: Ray, cbvh, mesh, hit_filter,
 
 
 def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None,
-                hit_filter=None, binned: bool = False) -> HitRecord:
+                hit_filter=None, binned: bool = False,
+                max_t=None) -> HitRecord:
     """Closest-hit query over the whole scene (traverse_linear.inl:286-318).
 
     ``hit_filter``: custom-intersector hook, see intersect_triangles_brute.
@@ -263,6 +263,11 @@ def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None,
     for INCOHERENT rays (diffuse bounces); requires a treelet-built
     ClusterBVH, silently falls back otherwise.  Coherent primary rays are
     faster unbinned.
+    ``max_t``: optional per-lane search bound.  Lanes with max_t <= 0 are
+    DEAD: on the Pallas tier they are dropped from the kernel tiles
+    entirely (the live-ray compaction lever — retired path-tracer lanes
+    must not pay traversal; cf. the reference's any(active_rays) early-out,
+    pathtracing.inl:47-53); the jnp tier masks them after the fact.
     """
     best = HitRecord.none(ray.batch_shape)
     offset = 0
@@ -273,17 +278,21 @@ def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None,
             from visionaray_tpu.ops.pallas.traverse import (
                 binned_closest_hit, cluster_closest_hit,
             )
+            mt = FLT_MAX if max_t is None else max_t
             if hit_filter is not None:
                 # a filtered-out winner falls through to the NEXT hit
                 # (reference in-traversal rejection semantics)
                 hr = _cluster_closest_filtered(ray, scene.bvh, scene.mesh,
                                                hit_filter,
-                                               _interpret_default())
+                                               _interpret_default(),
+                                               max_t=mt)
             elif binned and scene.bvh.treelet_size > 0:
                 hr = binned_closest_hit(ray, scene.bvh, scene.mesh,
+                                        max_t=mt,
                                         interpret=_interpret_default())
             else:
                 hr = cluster_closest_hit(ray, scene.bvh, scene.mesh,
+                                         max_t=mt,
                                          interpret=_interpret_default())
         elif use_bvh:
             from visionaray_tpu.ops.traversal import bvh_closest_hit
@@ -307,6 +316,14 @@ def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None,
             ray, scene.planes.normal, scene.planes.offset,
             scene.planes.geom_ids, offset)
         best = _merge(best, hr)
+    if max_t is not None:
+        # uniform bound across tiers (the Pallas paths also honor it
+        # in-kernel; the jnp/brute paths only here)
+        keep = best.hit & (best.t < max_t)
+        best = HitRecord(
+            hit=keep, t=jnp.where(keep, best.t, FLT_MAX),
+            prim_id=best.prim_id, geom_id=best.geom_id,
+            u=jnp.where(keep, best.u, 0.0), v=jnp.where(keep, best.v, 0.0))
     return best
 
 
@@ -329,7 +346,17 @@ def any_hit(ray: Ray, scene, max_t, use_bvh: Optional[bool] = None,
             from visionaray_tpu.ops.pallas.traverse import (
                 binned_any_hit, cluster_any_hit,
             )
-            if binned and scene.bvh.treelet_size > 0:
+            if hit_filter is not None:
+                # occlusion through a filter = "any SURVIVING hit in
+                # (0, max_t)": the closest surviving hit answers it
+                # (filtered-out candidates fall through, so shadow rays see
+                # through alpha-masked texels like the reference's
+                # mask_intersector any-hit, examples/intersector/main.cpp)
+                hr = _cluster_closest_filtered(ray, scene.bvh, scene.mesh,
+                                               hit_filter,
+                                               _interpret_default(),
+                                               max_t=max_t)
+            elif binned and scene.bvh.treelet_size > 0:
                 hr = binned_any_hit(ray, scene.bvh, scene.mesh, max_t,
                                     interpret=_interpret_default())
             else:

@@ -194,12 +194,17 @@ def render(scene, cam, width: int, height: int, algo: str = "simple",
            ambient: Optional[tuple] = None, pixel_sampler: Optional[str] = None,
            frame_num: int = 1, seed: int = 0, tile_size: int = 0,
            rt: Optional[RenderTarget] = None, nee: bool = False,
-           spectral: int = 0):
+           spectral: int = 0, hit_filter=None):
     """Render one frame; the call_kernel analogue (src/common/call_kernel.h).
 
     Defaults mirror the viewer (viewer.cpp:489-496): bounces 4 (10 for PT),
     ambient 0 (1 for PT), epsilon from scene diagonal; PT uses the
     jittered_blend progressive sampler with alpha = 1/frame_num.
+
+    ``hit_filter``: custom-intersector hook threaded into every kernel's
+    closest/any-hit call (the reference's intersector sched plumbing,
+    sched_common.h:786-818; alpha-mask transparency,
+    examples/intersector/main.cpp:256-330).
 
     ``spectral`` = N > 0: lift the scene to N-sample SPDs and path trace
     per-wavelength, folding back through the CIE observer for display (the
@@ -230,7 +235,7 @@ def render(scene, cam, width: int, height: int, algo: str = "simple",
 
     params = KernelParams.create(
         scene, num_bounces=bounces, epsilon=epsilon,
-        bg_color=bg_color, ambient_color=ambient)
+        bg_color=bg_color, ambient_color=ambient, hit_filter=hit_filter)
 
     color, depth = _render_frame(
         params, cam, width, height, algo, spp, pixel_sampler, tile_size,

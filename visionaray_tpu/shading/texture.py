@@ -321,11 +321,14 @@ def sample_scene_texture(atlas: TextureAtlas, geom_id, uv):
     x = u * W - 0.5
     y = v * H - 0.5
     if atlas.filter == Filter.NEAREST:
-        xi, _ = _resolve_coord(jnp.floor(x + 0.5).astype(jnp.int32), W,
-                               atlas.address_mode)
-        yi, _ = _resolve_coord(jnp.floor(y + 0.5).astype(jnp.int32), H,
-                               atlas.address_mode)
-        val = atlas.texels[gid, yi, xi]
+        xi, bx = _resolve_coord(jnp.floor(x + 0.5).astype(jnp.int32), W,
+                                atlas.address_mode)
+        yi, by = _resolve_coord(jnp.floor(y + 0.5).astype(jnp.int32), H,
+                                atlas.address_mode)
+        # BORDER taps outside [0, size) read the border value (0, like
+        # tex2d) rather than silently clamping — the two tiers must agree
+        val = jnp.where((bx & by)[..., None],
+                        atlas.texels[gid, yi, xi], 0.0)
     else:
         x0 = jnp.floor(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
@@ -333,9 +336,10 @@ def sample_scene_texture(atlas: TextureAtlas, geom_id, uv):
         fy = (y - y0)[..., None]
 
         def fetch(xi, yi):
-            xi2, _ = _resolve_coord(xi, W, atlas.address_mode)
-            yi2, _ = _resolve_coord(yi, H, atlas.address_mode)
-            return atlas.texels[gid, yi2, xi2]
+            xi2, bx = _resolve_coord(xi, W, atlas.address_mode)
+            yi2, by = _resolve_coord(yi, H, atlas.address_mode)
+            return jnp.where((bx & by)[..., None],
+                             atlas.texels[gid, yi2, xi2], 0.0)
 
         if atlas.filter == Filter.LINEAR:
             val = ((1 - fx) * (1 - fy) * fetch(x0, y0)
