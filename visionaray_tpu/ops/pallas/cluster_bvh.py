@@ -163,22 +163,26 @@ def _sorted_cluster_data(v1, e1, e2, K: int):
 
 
 def build_cluster_bvh(mesh, cluster_size: int = 0,
-                      treelet_size: int = 0) -> ClusterBVH:
+                      treelet_size: int = 0,
+                      sah_axis: bool = True) -> ClusterBVH:
     """Build the cluster structure on device (jit-compatible).
 
     ``cluster_size`` 0 = auto (pick_cluster_size: smallest K whose node
     table fits the SMEM budget).  ``treelet_size`` T > 0 builds the
     treelet-composite tree (see module docstring); 0 keeps one global
-    radix tree (the round-1 structure).
+    radix tree (the round-1 structure).  ``sah_axis``: SAH-scored axis
+    choice per kd split (_kd_sort; measured faster, keep on).
     """
     v1, e1, e2 = mesh.corners()
     return build_cluster_bvh_from_corners(v1, e1, e2,
                                           cluster_size=cluster_size,
-                                          treelet_size=treelet_size)
+                                          treelet_size=treelet_size,
+                                          sah_axis=sah_axis)
 
 
 def build_cluster_bvh_from_corners(v1, e1, e2, cluster_size: int = 0,
-                                   treelet_size: int = 0) -> ClusterBVH:
+                                   treelet_size: int = 0,
+                                   sah_axis: bool = True) -> ClusterBVH:
     """build_cluster_bvh over raw (v1, e1, e2) corner arrays — the entry
     point for per-shard soup meshes (parallel/ring.py); vmappable."""
     K = cluster_size or pick_cluster_size(v1.shape[0])
@@ -191,7 +195,8 @@ def build_cluster_bvh_from_corners(v1, e1, e2, cluster_size: int = 0,
             f"{v1.shape[0]} prims — shard the geometry instead "
             f"(visionaray_tpu.parallel.ring)")
     if treelet_size > 0:
-        return _build_kd_tree(v1, e1, e2, K, treelet_size)
+        return _build_kd_tree(v1, e1, e2, K, treelet_size,
+                              sah_axis=sah_axis)
     C, tri_cols, cl_lo, cl_hi, cl_codes = _sorted_cluster_data(v1, e1, e2, K)
     return _build_single_tree(C, K, tri_cols, cl_lo, cl_hi, cl_codes)
 
@@ -217,9 +222,8 @@ def _build_single_tree(C, K, tri_cols, cl_lo, cl_hi, cl_codes):
                       cluster_size=K)
 
 
-def _kd_sort(cent, levels: int):
-    """Balanced kd permutation: recursively median-split equal segments
-    along each segment's longest centroid axis.
+def _kd_sort(cent, levels: int, tri_lo=None, tri_hi=None):
+    """Balanced kd permutation: recursively median-split equal segments.
 
     Morton-run clusters/treelets were measured useless on architectural
     scenes: treelet boxes overlapped 4.2x (a random interior point sat
@@ -228,28 +232,64 @@ def _kd_sort(cent, levels: int):
     compact, minimally-overlapping boxes at every granularity and the
     recursion tree IS the BVH (a complete binary heap).
 
+    Axis choice: with ``tri_lo``/``tri_hi`` given, each segment evaluates
+    the median split on ALL THREE axes and keeps the one minimizing the
+    children's summed surface area — the SAH objective restricted to
+    equal-count splits (the equal-count restriction keeps the heap
+    complete; cf. the reference's binned SAH sweep, detail/bvh/sah.h:
+    308-367, which also scores candidate partitions by child SA).
+    Without them, the axis is the segment's longest centroid extent (the
+    classic kd heuristic; cheaper, looser boxes).
+
     ``cent``: (n, 3) centroids, n divisible by 2^levels; padding entries
-    must carry +3e38 so they sink to the tail segment.  Returns (n,) perm.
+    must carry +3e38 (and tri_lo=+inf / tri_hi=-inf) so they sink to the
+    tail segment and never dilate a box.  Returns (n,) perm.
     """
     n = cent.shape[0]
     perm = jnp.arange(n, dtype=jnp.int32)
+    use_sah = tri_lo is not None
+
+    def half_sa(lo_h, hi_h):
+        d = jnp.maximum(jnp.max(hi_h, axis=1) - jnp.min(lo_h, axis=1), 0.0)
+        return (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                + d[..., 2] * d[..., 0])
+
     for lvl in range(levels):
         n_seg = 1 << lvl
         seg = n // n_seg
         c = jnp.take(cent, perm, axis=0).reshape(n_seg, seg, 3)
-        finite = c[..., 0] < 1e38
-        lo = jnp.where(finite[..., None], c, 3e38).min(axis=1)
-        hi = jnp.where(finite[..., None], c, -3e38).max(axis=1)
-        axis = jnp.argmax(hi - lo, axis=-1)
-        key = jnp.take_along_axis(
-            c, axis[:, None, None].astype(jnp.int32), axis=-1)[..., 0]
-        order = jnp.argsort(key, axis=1)
+        if use_sah and seg >= 2:
+            lo_p = jnp.take(tri_lo, perm, axis=0).reshape(n_seg, seg, 3)
+            hi_p = jnp.take(tri_hi, perm, axis=0).reshape(n_seg, seg, 3)
+            half = seg // 2
+            orders = []
+            costs = []
+            for a in range(3):
+                order_a = jnp.argsort(c[..., a], axis=1).astype(jnp.int32)
+                lo_s = jnp.take_along_axis(lo_p, order_a[..., None], axis=1)
+                hi_s = jnp.take_along_axis(hi_p, order_a[..., None], axis=1)
+                costs.append(half_sa(lo_s[:, :half], hi_s[:, :half])
+                             + half_sa(lo_s[:, half:], hi_s[:, half:]))
+                orders.append(order_a)
+            best = jnp.argmin(jnp.stack(costs), axis=0)   # (n_seg,)
+            order = jnp.where(
+                (best == 0)[:, None], orders[0],
+                jnp.where((best == 1)[:, None], orders[1], orders[2]))
+        else:
+            finite = c[..., 0] < 1e38
+            lo = jnp.where(finite[..., None], c, 3e38).min(axis=1)
+            hi = jnp.where(finite[..., None], c, -3e38).max(axis=1)
+            axis = jnp.argmax(hi - lo, axis=-1)
+            key = jnp.take_along_axis(
+                c, axis[:, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            order = jnp.argsort(key, axis=1)
         perm = jnp.take_along_axis(
             perm.reshape(n_seg, seg), order, axis=1).reshape(-1)
     return perm
 
 
-def _build_kd_tree(v1, e1, e2, K: int, T: int) -> ClusterBVH:
+def _build_kd_tree(v1, e1, e2, K: int, T: int,
+                   sah_axis: bool = True) -> ClusterBVH:
     """Full kd build: triangles kd-sorted into 2^L clusters of K, the tree
     a complete binary heap over the clusters.
 
@@ -284,7 +324,9 @@ def _build_kd_tree(v1, e1, e2, K: int, T: int) -> ClusterBVH:
         hi = padv(hi, -jnp.inf)
         cent = padv(cent, 3e38)  # sinks padding to the tail segment
 
-    perm = _kd_sort(cent, int(np.log2(Cp)))
+    perm = _kd_sort(cent, int(np.log2(Cp)),
+                    tri_lo=lo if sah_axis else None,
+                    tri_hi=hi if sah_axis else None)
     take = lambda a: jnp.take(a, perm, axis=0)
     v1s, e1s, e2s = take(v1), take(e1), take(e2)
     prim_ids = jnp.where(perm < F, perm, 0)

@@ -43,6 +43,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from visionaray_tpu.core.types import (
     FLT_MAX, HitRecord, Ray, pytree_dataclass,
 )
+from visionaray_tpu.core.vecmath import cross, normalize
 from visionaray_tpu.ops.intersect import intersect_aabb, intersect_triangle
 from visionaray_tpu.ops.lbvh import (
     build_lbvh_from_aabbs, morton3d, triangle_aabbs,
@@ -56,12 +57,19 @@ BACKENDS = ("brute", "lbvh", "cluster")
 @pytree_dataclass
 class SoupMesh:
     """Minimal per-shard mesh view (triangle soup) satisfying the corners()
-    + geom_ids contract the traversal tiers consume."""
+    + geom_ids contract the traversal tiers consume.
+
+    ``corner_normals`` / ``tex_coords`` (optional) carry the shading data
+    the reference's get_surface gathers (get_surface.h:541-585) — here
+    gathered from the LOCAL soup inside the ring hop that owns the hit, so
+    shading over sharded geometry never needs a replicated mesh."""
 
     v1: Any       # (per, 3)
     e1: Any
     e2: Any
     geom_ids: Any  # (per,)
+    corner_normals: Any = None   # (per, 3, 3) per-corner shading normals
+    tex_coords: Any = None       # (per, 3, 2) per-corner UVs
 
     def corners(self):
         return self.v1, self.e1, self.e2
@@ -93,13 +101,18 @@ class ShardedGeometry:
 
 def shard_geometry(mesh, n_shards: int, backend: str = "lbvh",
                    cluster_size: int = 8,
-                   treelet_size: int = 0) -> ShardedGeometry:
+                   treelet_size: int = 0,
+                   with_shading: bool = False) -> ShardedGeometry:
     """Partition a TriangleMesh into n spatially-compact shards.
 
     Faces are morton-sorted by centroid then split into D contiguous
     ranges, so each shard covers a compact region and the ring's
     shard-AABB cull is effective.  The tail shard is padded by repeating
     its last face (duplicate hits merge to the same t — harmless).
+
+    ``with_shading``: also scatter the mesh's per-corner shading normals
+    and tex coords into the soup so the ring can shade (sharded PT,
+    parallel/sharded_pt.py).
     """
     assert backend in BACKENDS, backend
     v1, e1, e2 = mesh.corners()
@@ -120,8 +133,11 @@ def shard_geometry(mesh, n_shards: int, backend: str = "lbvh",
 
     take = lambda a: jnp.take(a, order.reshape(-1), axis=0).reshape(
         n_shards, per, *a.shape[1:])
-    soup = SoupMesh(v1=take(v1), e1=take(e1), e2=take(e2),
-                    geom_ids=take(mesh.geom_ids))
+    soup = SoupMesh(
+        v1=take(v1), e1=take(e1), e2=take(e2),
+        geom_ids=take(mesh.geom_ids),
+        corner_normals=take(mesh.corner_normals) if with_shading else None,
+        tex_coords=take(mesh.tex_coords) if with_shading else None)
     s_lo = take(lo)
     s_hi = take(hi)
     shard_lo = jnp.min(s_lo, axis=1)
@@ -220,6 +236,86 @@ def ring_closest_hit_local(ray: Ray, soup: SoupMesh, bvh, shard_lo, shard_hi,
                                        (ray, best0, owner0))
     return dataclasses.replace(
         best, prim_id=jnp.where(best.hit, owner * per + best.prim_id, 0))
+
+
+def ring_closest_surface_local(ray: Ray, soup: SoupMesh, bvh, shard_lo,
+                               shard_hi, backend: str, axis_name: str,
+                               max_t=FLT_MAX, interpret: bool = False):
+    """Closest hit PLUS surface data over the ring — the sharded analogue of
+    closest_hit + get_surface (reference get_surface.h:541-585).
+
+    Each hop gathers the shading data of hits it owns from its LOCAL soup
+    (per-corner normals interpolated at the recompute-differentiable
+    (u, v), geometric normal from cross(e1, e2), per-corner UVs) and the
+    winner's values ride the ``ppermute`` payload home.  Gradients flow to
+    the owning shard's soup leaves through the rotation (ppermute is
+    linear), so no second gradient pass is needed.
+
+    Returns (HitRecord, shading_normal (..., 3) unnormalized interpolation,
+    geometric_normal (..., 3) unit, uv (..., 2)).  Normalization of the
+    shading normal is left to the caller (a carried value is only ever
+    replaced, never accumulated, so normalize-at-home == normalize-at-hop).
+    """
+    assert soup.corner_normals is not None, \
+        "ring shading needs shard_geometry(..., with_shading=True)"
+    D = jax.lax.psum(1, axis_name)
+    per = soup.num_prims
+    my = jax.lax.axis_index(axis_name)
+    perm_fwd = [(i, (i + 1) % D) for i in range(D)]
+    batch = ray.batch_shape
+    mt0 = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), batch)
+
+    def round_body(r, carry):
+        ray, mt, best, owner, ns, ng, uv = carry
+        inv_d = 1.0 / jnp.where(jnp.abs(ray.dir) < 1e-30, 1e-30, ray.dir)
+        tn, tf, bh = intersect_aabb(jax.lax.stop_gradient(ray.ori),
+                                    jax.lax.stop_gradient(inv_d),
+                                    shard_lo, shard_hi)
+        bound = jnp.minimum(jax.lax.stop_gradient(best.t), mt)
+        want = bh & (tf >= 0.0) & (tn < bound)
+        hr = _local_closest(ray, soup, bvh, backend,
+                            jnp.where(want, bound, -1.0), interpret)
+        closer = hr.hit & (hr.t < best.t) & (hr.t < mt)
+        # --- local surface gather at this hop's winning primitive
+        pid = jnp.where(closer, hr.prim_id, 0)
+        w = jnp.stack([1.0 - hr.u - hr.v, hr.u, hr.v], axis=-1)
+        cn = jnp.take(soup.corner_normals, pid, axis=0)      # (..., 3, 3)
+        ns_new = jnp.sum(cn * w[..., None], axis=-2)
+        uvs = jnp.take(soup.tex_coords, pid, axis=0)         # (..., 3, 2)
+        uv_new = jnp.sum(uvs * w[..., None], axis=-2)
+        e1g = jnp.take(soup.e1, pid, axis=0)
+        e2g = jnp.take(soup.e2, pid, axis=0)
+        ng_new = normalize(cross(e1g, e2g))
+
+        sel = lambda a, b: jnp.where(closer, a, b)
+        sel3 = lambda a, b: jnp.where(closer[..., None], a, b)
+        best = HitRecord(
+            hit=best.hit | closer,
+            t=sel(hr.t, best.t),
+            prim_id=sel(hr.prim_id, best.prim_id),
+            geom_id=sel(hr.geom_id, best.geom_id),
+            u=sel(hr.u, best.u), v=sel(hr.v, best.v))
+        owner = jnp.where(closer, my, owner)
+        ns = sel3(ns_new, ns)
+        ng = sel3(ng_new, ng)
+        uv = jnp.where(closer[..., None], uv_new, uv)
+        (ray, mt, best, owner, ns, ng, uv) = jax.lax.ppermute(
+            (ray, mt, best, owner, ns, ng, uv), axis_name, perm_fwd)
+        return ray, mt, best, owner, ns, ng, uv
+
+    best0 = HitRecord.none(batch)
+    owner0 = jnp.zeros(batch, jnp.int32)
+    # miss lanes keep a unit normal (never consumed — their lanes are
+    # masked — but normalize(0) would inject NaNs that poison masked
+    # products downstream: NaN * 0 == NaN)
+    z3 = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                          batch + (3,))
+    z2 = jnp.zeros(batch + (2,), jnp.float32)
+    _, _, best, owner, ns, ng, uv = jax.lax.fori_loop(
+        0, D, round_body, (ray, mt0, best0, owner0, z3, z3, z2))
+    best = dataclasses.replace(
+        best, prim_id=jnp.where(best.hit, owner * per + best.prim_id, 0))
+    return best, ns, ng, uv
 
 
 def ring_any_hit_local(ray: Ray, max_t, soup: SoupMesh, bvh, shard_lo,

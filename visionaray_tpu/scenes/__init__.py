@@ -14,9 +14,13 @@ from visionaray_tpu.scenes.basic import (
 from visionaray_tpu.scenes.teapot import teapot_scene, teapot_mesh
 from visionaray_tpu.scenes.sponza_like import sponza_like_scene
 from visionaray_tpu.scenes.volume_demo import volume_scene
+from visionaray_tpu.scenes.instanced import (
+    grid_transforms, instance_mesh, sponza_x16_scene,
+)
 
 __all__ = [
     "tri_sphere_plane", "cornell_box", "cornell_box_spectral",
     "random_triangles", "teapot_scene", "teapot_mesh",
     "sponza_like_scene", "volume_scene",
+    "grid_transforms", "instance_mesh", "sponza_x16_scene",
 ]
