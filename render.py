@@ -43,6 +43,13 @@ def build_scene(name: str, args):
         if key == "volume":
             from visionaray_tpu.scenes import volume_scene
             return volume_scene()
+        if key == "multi_volume":
+            from visionaray_tpu.scenes import multi_volume_scene
+            return multi_volume_scene()
+        if key in ("sponza_x16", "config5"):
+            from visionaray_tpu.scenes import sponza_x16_scene
+            return sponza_x16_scene(
+                target_tris_per_instance=args.target_tris)
         raise SystemExit(f"unknown builtin scene: {key}")
     # OBJ file
     from visionaray_tpu.io.obj import load_obj_scene
@@ -91,6 +98,15 @@ def main(argv=None):
     p.add_argument("--benchmark", action="store_true",
                    help="print Mrays/s metrics as JSON")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--elastic", action="store_true",
+                   help="elastic scheduler: per-batch re-dispatch on "
+                        "failure + npz checkpoint/resume "
+                        "(sched/elastic.py)")
+    p.add_argument("--elastic-batch", type=int, default=1 << 16,
+                   help="pixels per elastic batch")
+    p.add_argument("--elastic-checkpoint", default=None, metavar="PATH",
+                   help="npz checkpoint for elastic resume (preemption "
+                        "loses at most one checkpoint window)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -140,12 +156,52 @@ def main(argv=None):
     ambient = tuple(args.ambient) + (1.0,) if args.ambient else None
     t_start = time.perf_counter()
     rt = None
-    for frame in range(1, args.frames + 1):
-        rt = render(scene, cam, args.width, args.height,
-                    algo=args.algorithm, spp=args.spp, bounces=args.bounces,
-                    ambient=ambient, frame_num=frame,
-                    tile_size=args.tile_size, rt=rt, nee=args.nee,
-                    spectral=args.spectral)
+    if args.elastic:
+        # production scheduler: per-batch re-dispatch, fresh-executable
+        # retry, npz checkpoint/resume (sched/elastic.py)
+        import jax.numpy as jnp
+
+        from visionaray_tpu.kernels.params import KernelParams
+        from visionaray_tpu.sched.elastic import render_frame_elastic
+        from visionaray_tpu.sched.render import RenderTarget
+
+        bounces = args.bounces or (
+            10 if args.algorithm == "pathtracing" else 4)
+        amb = ambient or ((1.0, 1.0, 1.0, 1.0)
+                          if args.algorithm == "pathtracing"
+                          else (0.0, 0.0, 0.0, 0.0))
+        bbox = scene.bbox()
+        epsv = max(1e-3, float(np.linalg.norm(
+            np.asarray(bbox.hi) - np.asarray(bbox.lo))) * 1e-5)
+        params = KernelParams.create(
+            scene, num_bounces=bounces, epsilon=epsv,
+            bg_color=(0.1, 0.4, 1.0, 1.0), ambient_color=amb)
+        sampler = ("jittered_blend"
+                   if args.algorithm in ("pathtracing", "ao") else "uniform")
+        acc = None
+        for frame in range(1, args.frames + 1):
+            ck = (f"{args.elastic_checkpoint}.f{frame}.npz"
+                  if args.elastic_checkpoint else None)
+            img, report = render_frame_elastic(
+                params, cam, args.width, args.height, algo=args.algorithm,
+                spp=args.spp, pixel_sampler=sampler, frame_num=frame,
+                nee=args.nee, batch=args.elastic_batch,
+                checkpoint_path=ck)
+            if not report.ok:
+                print(f"elastic: frame {frame} had {report.failed} "
+                      f"abandoned batches")
+            alpha = 1.0 / frame
+            acc = img if acc is None else acc * (1 - alpha) + img * alpha
+        rt = RenderTarget(color=jnp.asarray(acc),
+                          depth=jnp.zeros(acc.shape[:2], jnp.float32),
+                          width=args.width, height=args.height)
+    else:
+        for frame in range(1, args.frames + 1):
+            rt = render(scene, cam, args.width, args.height,
+                        algo=args.algorithm, spp=args.spp,
+                        bounces=args.bounces, ambient=ambient,
+                        frame_num=frame, tile_size=args.tile_size, rt=rt,
+                        nee=args.nee, spectral=args.spectral)
     rt.color.block_until_ready()
     elapsed = time.perf_counter() - t_start
 

@@ -27,6 +27,7 @@ K = int(os.environ.get("K", 32))
 T = int(os.environ.get("T", 32))
 M = int(os.environ.get("M", 8))
 N = 1 << int(os.environ.get("N", 20))
+SAH = os.environ.get("SAH", "1") == "1"   # SAH-scored kd split axes
 MODE = os.environ.get("MODE", "binned")  # binned | global | both
 if "ROWS" in os.environ:       # tile geometry sweep
     trav.TILE_ROWS = int(os.environ["ROWS"])
@@ -36,11 +37,12 @@ if "IL" in os.environ:
 scene, cam = sponza_like_scene(target_tris=260_000, build_bvh=False)
 mesh = scene.mesh
 cbvh = jax.jit(build_cluster_bvh,
-               static_argnames=("cluster_size", "treelet_size"))(
-    mesh, cluster_size=K, treelet_size=T)
+               static_argnames=("cluster_size", "treelet_size",
+                                "sah_axis"))(
+    mesh, cluster_size=K, treelet_size=T, sah_axis=SAH)
 jax.block_until_ready(cbvh.nodes)
 print(f"K={K} T={T} S={cbvh.num_treelets} C={cbvh.num_clusters} M={M} "
-      f"N={N}", flush=True)
+      f"N={N} SAH={SAH}", flush=True)
 
 lo, hi = jnp.asarray(cbvh.nodes[0, 0:3]), jnp.asarray(cbvh.nodes[0, 3:6])
 k1, k2 = jax.random.split(jax.random.PRNGKey(0))

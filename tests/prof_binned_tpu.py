@@ -11,9 +11,11 @@ from visionaray_tpu.ops.pallas.traverse import binned_closest_hit
 from visionaray_tpu.scenes import sponza_like_scene
 
 M = int(os.environ.get("M", 8))
+T = int(os.environ.get("T", 128))
+K = int(os.environ.get("K", 32))
 scene, cam = sponza_like_scene(target_tris=260_000, build_bvh=False)
 mesh = scene.mesh
-cbvh = jax.jit(build_cluster_bvh, static_argnames=("cluster_size","treelet_size"))(mesh, cluster_size=32, treelet_size=32)
+cbvh = jax.jit(build_cluster_bvh, static_argnames=("cluster_size","treelet_size"))(mesh, cluster_size=K, treelet_size=T)
 jax.block_until_ready(cbvh.nodes)
 n = 1 << 20
 lo, hi = jnp.asarray(cbvh.nodes[0, 0:3]), jnp.asarray(cbvh.nodes[0, 3:6])

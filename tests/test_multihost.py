@@ -31,9 +31,13 @@ def test_make_global_pixel_array_single_process():
 
 
 def test_local_slice_partitions_index_space():
-    # single process: the local slice is everything
+    # single process: the local slice is everything, padded so every
+    # DEVICE (not just every process) gets an equal shard — P(TILE_AXIS)
+    # partitions over devices (caught by the 2-process smoke test)
+    padded = multihost.padded_global_size(100)
+    assert padded % jax.device_count() == 0 and 100 <= padded
     s = multihost.local_slice(100)
-    assert s == slice(0, 100)
+    assert s == slice(0, padded)
 
 
 def test_initialize_single_host_is_safe():

@@ -40,6 +40,8 @@ itself differentiates by recompute, ops/traversal.py).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -116,6 +118,13 @@ def _nee_direct(lights, nc, surf, n, view_dir, isect_pos, eps, ua, ub, ul,
     return direct * (g * visible * float(total))[..., None]
 
 
+# NEE shadow rays share one origin region per surface patch and converge
+# on the light — markedly more coherent than bounce rays.  A/B knob for
+# routing them through the sorted global-consensus kernel instead of the
+# treelet-binned one (docs/PERF.md records the measurement).
+_SHADOW_BINNED = os.environ.get("VSNRAY_SHADOW_BINNED", "1") == "1"
+
+
 def scene_tracer(params: KernelParams, binned: bool):
     """(closest, any) over a replicated scene: closest_hit + get_surface.
 
@@ -130,7 +139,8 @@ def scene_tracer(params: KernelParams, binned: bool):
         return hr, get_surface(hr, ray, scene)
 
     def trace_any(ray, max_t):
-        return any_hit(ray, scene, max_t=max_t, binned=binned,
+        return any_hit(ray, scene, max_t=max_t,
+                       binned=binned and _SHADOW_BINNED,
                        hit_filter=params.hit_filter)
 
     return trace_closest, trace_any

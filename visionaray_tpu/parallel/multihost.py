@@ -43,8 +43,12 @@ def initialize(coordinator_address: Optional[str] = None,
     JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars.
     Returns True if running multi-process after the call.
     """
-    if jax.process_count() > 1:
-        return True
+    # do NOT probe jax.process_count() before distributed.initialize():
+    # it initializes the XLA backend, after which initialize() raises.
+    # The distributed client handle is the side-effect-free signal.
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return jax.process_count() > 1
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None and num_processes is None:
         # single-host run or TPU auto-discovery environment
@@ -83,15 +87,18 @@ def make_global_pixel_array(x_local, mesh: Mesh):
 
 
 def padded_global_size(n_global: int) -> int:
-    """n_global rounded up so every process holds an equal-shaped shard.
+    """n_global rounded up so every DEVICE holds an equal-shaped shard.
 
-    make_array_from_process_local_data with P(TILE_AXIS) requires identical
-    process-local shapes; callers pad the pixel/ray arrays to this size
-    (mirroring the tile padding in tile_sharding.py) and slice the results
-    back to n_global.
+    P(TILE_AXIS) partitions axis 0 over all devices, so the global size
+    must divide by the device count (which also makes the process-local
+    shards equal — device counts are uniform across processes).  Callers
+    pad the pixel/ray arrays to this size (mirroring the tile padding in
+    tile_sharding.py) and slice the results back to n_global.  (First
+    exercised multi-process by tests/test_multiprocess_distributed.py,
+    which caught the original process-count-only padding.)
     """
-    pc = jax.process_count()
-    return -(-n_global // pc) * pc
+    nd = jax.device_count()
+    return -(-n_global // nd) * nd
 
 
 def local_slice(n_global: int) -> slice:

@@ -52,22 +52,40 @@ def pad_to_multiple(x, m: int, axis: int = 0):
 def render_image_sharded(params: KernelParams, cam, width: int, height: int,
                          mesh: Mesh, algo: str = "pathtracing", spp: int = 1,
                          pixel_sampler: str = "jittered_blend",
-                         frame_num=1, seed: int = 0):
+                         frame_num=1, seed: int = 0, nee: bool = False,
+                         tile_size: int = 0):
     """Render a full frame with pixels sharded over the mesh.
 
     Returns (color (H,W,4), depth (H,W)).  Scene/BVH replicated (<= HBM);
     geometry sharding for scenes beyond HBM lives in parallel/ring.py.
+    ``nee``/``tile_size``: the flagship-config knobs (next-event estimation
+    and per-device lax.map sub-tiling to bound live memory) — plumbed to
+    render_pixels exactly as the single-device path does.
     """
     n_dev = mesh.devices.size
     x = jnp.arange(width, dtype=jnp.int32)
     y = jnp.arange(height, dtype=jnp.int32)
     xx, yy = jnp.meshgrid(x, y)
-    xf = pad_to_multiple(xx.reshape(-1), n_dev)
-    yf = pad_to_multiple(yy.reshape(-1), n_dev)
+    chunk = n_dev * tile_size if tile_size else n_dev
+    xf = pad_to_multiple(xx.reshape(-1), chunk)
+    yf = pad_to_multiple(yy.reshape(-1), chunk)
 
     def shard_fn(p, c, xs, ys, fn):
+        if tile_size and xs.shape[0] > tile_size:
+            nt = xs.shape[0] // tile_size
+
+            def tile_fn(args):
+                tx, ty = args
+                return render_pixels(p, c, tx, ty, width, height, algo,
+                                     spp, pixel_sampler, fn, seed, nee=nee)
+
+            col, dep = jax.lax.map(
+                tile_fn, (xs.reshape(nt, tile_size),
+                          ys.reshape(nt, tile_size)))
+            return col.reshape(-1, 4), dep.reshape(-1)
         col, dep = render_pixels(p, c, xs, ys, width, height,
-                                 algo, spp, pixel_sampler, fn, seed)
+                                 algo, spp, pixel_sampler, fn, seed,
+                                 nee=nee)
         return col, dep
 
     sharded = jax.shard_map(

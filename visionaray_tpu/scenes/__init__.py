@@ -13,7 +13,7 @@ from visionaray_tpu.scenes.basic import (
 )
 from visionaray_tpu.scenes.teapot import teapot_scene, teapot_mesh
 from visionaray_tpu.scenes.sponza_like import sponza_like_scene
-from visionaray_tpu.scenes.volume_demo import volume_scene
+from visionaray_tpu.scenes.volume_demo import multi_volume_scene, volume_scene
 from visionaray_tpu.scenes.instanced import (
     grid_transforms, instance_mesh, sponza_x16_scene,
 )
@@ -21,6 +21,6 @@ from visionaray_tpu.scenes.instanced import (
 __all__ = [
     "tri_sphere_plane", "cornell_box", "cornell_box_spectral",
     "random_triangles", "teapot_scene", "teapot_mesh",
-    "sponza_like_scene", "volume_scene",
+    "sponza_like_scene", "volume_scene", "multi_volume_scene",
     "grid_transforms", "instance_mesh", "sponza_x16_scene",
 ]

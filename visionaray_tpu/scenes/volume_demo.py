@@ -43,3 +43,44 @@ def volume_scene(resolution: int = 64):
                          up=(0.0, 1.0, 0.0), fovy=np.deg2rad(45.0),
                          aspect=1.0)
     return scene, cam
+
+
+def multi_volume_scene(resolution: int = 48, n_volumes: int = 3):
+    """V >= 2 volumes side by side with DISTINCT per-volume transfer
+    functions (reference examples/multi_volume/main.cpp:376-690: several
+    AABB-bounded volumes, per-volume 3D texture + transfer function,
+    bounding-box compositing order).  Returns (scene, camera); the camera
+    looks down the row so rays cross several volumes and the compositing
+    order matters."""
+    n = resolution
+    ax = (np.arange(n, dtype=np.float32) + 0.5) / n * 2.0 - 1.0
+    z, y, x = np.meshgrid(ax, ax, ax, indexing="ij")
+    r = np.sqrt(x * x + y * y + z * z)
+
+    fields, transfers, los, his = [], [], [], []
+    t = np.linspace(0.0, 1.0, 64, dtype=np.float32)
+    ramps = [
+        np.stack([np.ones_like(t) * 0.9, 0.2 + 0.3 * t, 0.1 * t,
+                  np.where(t < 0.1, 0.0, 0.8 * t)], axis=-1),   # red-ish
+        np.stack([0.1 * t, 0.9 * np.ones_like(t), 0.3 * t,
+                  np.where(t < 0.1, 0.0, 0.8 * t)], axis=-1),   # green-ish
+        np.stack([0.2 * t, 0.3 * t, 0.9 * np.ones_like(t),
+                  np.where(t < 0.1, 0.0, 0.8 * t)], axis=-1),   # blue-ish
+    ]
+    for i in range(n_volumes):
+        blob = np.exp(-((r - 0.15 * (i + 1)) / 0.3) ** 2)
+        fields.append(np.clip(blob, 0.0, 1.0).astype(np.float32))
+        transfers.append(ramps[i % len(ramps)])
+        cx = 2.4 * i  # row along +x, non-overlapping boxes
+        los.append([cx - 1.0, -1.0, -1.0])
+        his.append([cx + 1.0, 1.0, 1.0])
+
+    vols = Volumes.create(lo=los, hi=his,
+                          texels=np.stack(fields),
+                          transfer=np.stack(transfers))
+    scene = Scene.create(volumes=vols)
+    mid = 1.2 * (n_volumes - 1)
+    cam = Pinhole.create(eye=(-3.2, 1.2, 4.5), center=(mid, 0.0, 0.0),
+                         up=(0.0, 1.0, 0.0), fovy=np.deg2rad(50.0),
+                         aspect=1.0)
+    return scene, cam
