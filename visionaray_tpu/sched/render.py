@@ -245,6 +245,16 @@ def render(scene, cam, width: int, height: int, algo: str = "simple",
         return RenderTarget(color=color, depth=depth, width=width, height=height)
     # progressive blend, alpha = 1/frame_num (sched_common.h:515-529)
     alpha = 1.0 / jnp.float32(frame_num)
+    from visionaray_tpu.io.pixel_format import (
+        TypedRenderTarget, blend_device,
+    )
+    if isinstance(rt, TypedRenderTarget):
+        # quantized device framebuffer: blend through the device-side
+        # pixel_access path (detail/pixel_access.h blend into unorm8 —
+        # the reference GL targets' arrangement)
+        rt2 = blend_device(rt, color, alpha, 1.0 - alpha)
+        return replace(rt2,
+                       depth=rt.depth * (1.0 - alpha) + depth * alpha)
     return replace(rt,
                    color=rt.color * (1.0 - alpha) + color * alpha,
                    depth=rt.depth * (1.0 - alpha) + depth * alpha)
