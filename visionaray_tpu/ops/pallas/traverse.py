@@ -42,6 +42,7 @@ stop_gradient and the winning primitive is re-intersected differentiably.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
@@ -610,7 +611,12 @@ def cluster_closest_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t=FLT_MAX,
 # visit only its <=T clusters — tight hulls, bounded leaf work.
 
 BIN_M = 8            # treelet slots per ray (last doubles as overflow slot)
+BINNED_ROWS = 16     # sublane rows per binned-path tile: 2048-ray tiles
+                     # measured 2.47 vs 2.40 Mrays/s at 32 rows (tighter
+                     # per-tile hulls + half the segment padding); the
+                     # coherent path keeps TILE_ROWS=32 (tuned there)
 _ENTRY_CHUNK = 1 << 15   # rays per entry-test chunk (bounds the N x S matrix)
+_DIR_BITS = int(os.environ.get("VSNRAY_DIRBITS", "0"))
 
 
 def _treelet_entries(o, d, mt, tlo, thi, m: int):
@@ -688,7 +694,8 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
 
     S = cbvh.num_treelets
     troots = sg(cbvh.treelet_roots)
-    chunk = TILE_ROWS * 128
+    rows = BINNED_ROWS
+    chunk = rows * 128
     # CHUNK-ALIGNED VARIABLE SEGMENTS: a kernel tile must never mix
     # treelets — a confined tile was measured 180x faster than one given an
     # ancestor subtree (the interval hull degenerates and scans whatever
@@ -733,8 +740,18 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
         # sort: treelet-major (dead rays last), within a treelet by
         # direction octant + entry-point morton so hulls stay tight.
         # lax.sort with the index as payload — one pass, no argsort+take.
+        # _DIR_BITS > 0 trades the LOWEST morton bits for in-octant
+        # direction bits: when one morton cell overfills a tile, sub-tiles
+        # split by direction instead of arbitrarily (the round-2 "replace
+        # morton with dir bits" experiment lost origin locality and
+        # measured 2x worse; this keeps morton dominant).
         q = jnp.clip((op - root_lo) / ext, 0.0, 1.0)
-        mor = morton3d(q).astype(jnp.uint32) >> 11      # top 19 bits
+        mbits = 19 - _DIR_BITS
+        mor = morton3d(q).astype(jnp.uint32) >> jnp.uint32(30 - mbits)
+        if _DIR_BITS:
+            dk = morton3d(jnp.abs(d)).astype(jnp.uint32) \
+                >> jnp.uint32(30 - _DIR_BITS)
+            mor = (mor << jnp.uint32(_DIR_BITS)) | dk
         skey = jnp.where(live, jnp.where(slot_r < 0, S, slot_r),
                          S + 1).astype(jnp.uint32)
         key = (skey << jnp.uint32(22)) | (octant << jnp.uint32(19)) | mor
@@ -795,7 +812,7 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
             0).reshape(n_groups, INTERLEAVE)
 
         rays8 = _pack_rays(op_k, d_k, mt_k, Ppad, Ppad, n_groups,
-                           INTERLEAVE, TILE_ROWS, pad_maxt=-1.0)
+                           INTERLEAVE, rows, pad_maxt=-1.0)
         t_t, prim_t, u_t, v_t = _cluster_traverse(
             rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
             cbvh.cluster_size, any_hit=any_hit, interpret=interpret,
