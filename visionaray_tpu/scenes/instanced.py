@@ -85,9 +85,12 @@ def sponza_x16_scene(target_tris_per_instance: int = 260_000,
     mesh16 = instance_mesh(base.mesh,
                            grid_transforms(instances, pitch, rows=4))
     scene = dataclasses.replace(base, mesh=mesh16)
-    # pull the camera back to frame the grid
+    # camera at first-courtyard eye height, looking across the grid so
+    # several instances' colonnades are in frame
     cam = Pinhole.create(
-        eye=(-0.5 * pitch[0], 14.0, -0.5 * pitch[1]),
-        center=(1.5 * pitch[0], 2.0, 1.5 * pitch[1]),
-        up=(0.0, 1.0, 0.0), fovy=np.deg2rad(60.0), aspect=16.0 / 9.0)
+        eye=(0.15 * pitch[0], 0.45 * float(hi[1] - lo[1]),
+             0.2 * pitch[1]),
+        center=(2.2 * pitch[0], 0.25 * float(hi[1] - lo[1]),
+                1.8 * pitch[1]),
+        up=(0.0, 1.0, 0.0), fovy=np.deg2rad(62.0), aspect=16.0 / 9.0)
     return scene, cam
