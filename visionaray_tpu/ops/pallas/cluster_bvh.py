@@ -155,37 +155,11 @@ def _sorted_cluster_data(v1, e1, e2, K: int):
         prim_ids.reshape(C, K, 1).astype(jnp.float32),
         jnp.zeros((C, K, 6), jnp.float32),
     ], axis=-1)  # (C, K, 16)
-    tri_cols = _attach_sub_boxes(tri_cols, los.reshape(C, K, 3),
-                                 his.reshape(C, K, 3), K)
     tri_cols = jnp.take(tri_cols, cl_order, axis=0)
     cl_lo = jnp.take(cl_lo, cl_order, axis=0)
     cl_hi = jnp.take(cl_hi, cl_order, axis=0)
     cl_codes = jnp.take(cl_codes, cl_order)
     return C, tri_cols, cl_lo, cl_hi, cl_codes
-
-
-SUB_BOXES = 4   # kd-tight sub-boxes per cluster, stored in the padding of
-                # tri records 0..3 (cols 10:13 lo, 13:16 hi); the kernel
-                # scalar-tests each K/4-triangle block and skips misses
-
-
-def _attach_sub_boxes(tri_cols, los, his, K: int):
-    """Write SUB_BOXES per-block AABBs into the record padding.
-
-    Triangles within a cluster are kd/morton-adjacent, so each K/4-block
-    has a compact box; all-padding blocks get an empty (+inf/-inf -> never
-    visited) box.  The layout costs nothing: the 6 pad floats of records
-    0..3 were zeros.
-    """
-    Q = SUB_BOXES
-    assert K % Q == 0
-    C = tri_cols.shape[0]
-    qlo = jnp.min(los.reshape(C, Q, K // Q, 3), axis=2)
-    qhi = jnp.max(his.reshape(C, Q, K // Q, 3), axis=2)
-    # empty blocks keep +inf/-inf (tn > tf: auto-culled); a block with any
-    # real tri has finite bounds on the min/max path already
-    box6 = jnp.concatenate([qlo, qhi], axis=-1)          # (C, Q, 6)
-    return tri_cols.at[:, :Q, 10:16].set(box6)
 
 
 def build_cluster_bvh(mesh, cluster_size: int = 0,
@@ -375,8 +349,6 @@ def _build_kd_tree(v1, e1, e2, K: int, T: int,
         prim_ids.reshape(Cp, K, 1).astype(jnp.float32),
         jnp.zeros((Cp, K, 6), jnp.float32),
     ], axis=-1)
-    tri_cols = _attach_sub_boxes(tri_cols, los.reshape(Cp, K, 3),
-                                 his.reshape(Cp, K, 3), K)
     tris = tri_cols.reshape(Cp, K // 8, 128)
 
     lf = jnp.concatenate([left.astype(jnp.float32),

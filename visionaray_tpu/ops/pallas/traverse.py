@@ -114,9 +114,8 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
         """Scalar load of component c of node n (SMEM, fully dynamic)."""
         return nodes_ref[0, n * 8 + c]
 
-    def hull_box_test(g, blo3, bhi3, maxt):
-        """Scalar conservative slab test of tile g's hull vs a box given
-        as 6 scalar values.
+    def frustum_test(g, n, maxt):
+        """Scalar conservative slab test of tile g's hull vs node n's box.
 
         Returns (descend?, conservative tnear): a superset of "any lane's
         slab test passes with tnear < its best t".
@@ -124,11 +123,13 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
         tn = jnp.float32(-3e38)
         tf = jnp.float32(3e38)
         for a in range(3):
+            blo = node_f(n, a)
+            bhi = node_f(n, 3 + a)
             (olo, ohi) = o_iv[g][a]
             (ilo, ihi) = i_iv[g][a]
             axis_lo = jnp.float32(3e38)
             axis_hi = jnp.float32(-3e38)
-            for b in (blo3[a], bhi3[a]):
+            for b in (blo, bhi):
                 u1 = b - ohi
                 u2 = b - olo
                 p1 = u1 * ilo
@@ -146,29 +147,16 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
         want = (tf >= tn) & (tf >= 0.0) & (tn < maxt)
         return want, tn
 
-    def frustum_test(g, n, maxt):
-        """hull_box_test against node n's box (SMEM node table)."""
-        return hull_box_test(g,
-                             (node_f(n, 0), node_f(n, 1), node_f(n, 2)),
-                             (node_f(n, 3), node_f(n, 4), node_f(n, 5)),
-                             maxt)
-
     def dma_for(g, c):
         return pltpu.make_async_copy(
             tris_hbm.at[c], tri_smem.at[g], dma_sem.at[g])
 
-    def intersect_cluster(g, best_t, best_prim, best_u, best_v, done_mask,
-                          maxt):
+    def intersect_cluster(g, best_t, best_prim, best_u, best_v, done_mask):
         """Tile g (vector lanes) vs the K triangles in its SMEM slot.
 
         Triangle components are scalar SMEM loads broadcast into vector
         Moeller-Trumbore over all rows*128 lanes — no vector->scalar
-        extracts anywhere.  The cluster's 4 kd-adjacent K/4-triangle
-        blocks carry their own sub-boxes (cluster_bvh._attach_sub_boxes,
-        stored in record 0..3 padding); each block is hull-tested with 6
-        scalar loads and skipped whole when it misses — per-block culling
-        at scalar cost, which is what makes loose-hull (incoherent) tiles
-        pay for the triangles near their rays instead of the whole leaf.
+        extracts anywhere.
         """
         oxg = ray_comp(0, g)
         oyg = ray_comp(1, g)
@@ -217,26 +205,10 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
         # static unroll: SMEM offsets become compile-time constants and the
         # per-triangle arithmetic (independent until the final min-fold)
         # software-pipelines across triangles instead of serializing on a
-        # fori carry.  4 blocks of K/4, each gated by its sub-box test.
+        # fori carry
         carry = (best_t, best_prim, best_u, best_v)
-        Q = 4 if K % 4 == 0 else 1
-        blk = K // Q
-        for q in range(Q):
-            if Q > 1:
-                def qf(j, q=q):
-                    return tri_smem[g, 0, q * 16 + 10 + j]
-                want_q, _ = hull_box_test(
-                    g, (qf(0), qf(1), qf(2)), (qf(3), qf(4), qf(5)), maxt)
-
-                def run_block(c, q=q):
-                    for k in range(q * blk, (q + 1) * blk):
-                        c = tri_body(k, c)
-                    return c
-
-                carry = jax.lax.cond(want_q, run_block, lambda c: c, carry)
-            else:
-                for k in range(q * blk, (q + 1) * blk):
-                    carry = tri_body(k, carry)
+        for k in range(K):
+            carry = tri_body(k, carry)
         return carry
 
     best_t0 = [ray_comp(6, g) for g in range(G)]
@@ -256,7 +228,7 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
             dma_for(g, 0).wait()
             bt, bp, bu, bv = intersect_cluster(
                 g, best_t0[g], best_prim0[g], best_u0[g], best_v0[g],
-                jnp.zeros(lanes, jnp.bool_), maxt0[g])
+                jnp.zeros(lanes, jnp.bool_))
             best_t.append(bt)
             best_prim.append(bp)
             best_u.append(bu)
@@ -296,7 +268,7 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
                     done_mask = (bt < ray_comp(6, g)) if any_hit else \
                         jnp.zeros(lanes, jnp.bool_)
                     bt, bp, bu, bv = intersect_cluster(
-                        g, bt, bp, bu, bv, done_mask, mt_)
+                        g, bt, bp, bu, bv, done_mask)
                     if any_hit:
                         # remaining-work bound: max max_t over lanes still
                         # unoccluded (padding lanes carry max_t < 0)
