@@ -80,9 +80,13 @@ def main(argv=None):
     p.add_argument("--output", "-o", default="out.png")
     p.add_argument("--no-srgb", action="store_true")
     p.add_argument("--no-bvh", action="store_true")
-    p.add_argument("--bvh", choices=["lbvh", "cluster"], default="lbvh",
+    p.add_argument("--bvh", choices=["lbvh", "cluster", "sah", "sbvh"],
+                   default="lbvh",
                    help="acceleration structure: lbvh (jnp tier, runs "
-                        "anywhere) or cluster (Pallas TPU fast path)")
+                        "anywhere), cluster (Pallas TPU fast path), or the "
+                        "native quality builders sah / sbvh (host binned "
+                        "SAH, sbvh adds spatial splits; jnp tier — the "
+                        "reference's --bvh split analogue, viewer.cpp)")
     p.add_argument("--treelet", type=int, default=-1,
                    help="ClusterBVH treelet size for binned incoherent-ray "
                         "traversal (-1 = auto: 128 for pathtracing, off "
@@ -123,6 +127,17 @@ def main(argv=None):
     from visionaray_tpu.sched.render import render
 
     scene, cam = build_scene(args.scene, args)
+    if args.bvh in ("sah", "sbvh") and scene.mesh is not None \
+            and not args.no_bvh:
+        import dataclasses
+
+        from visionaray_tpu.ops import sah as _sah
+        if not _sah.available():
+            p.error("--bvh %s needs the native builder "
+                    "(native/sah_builder.cpp; auto-compiled on first use — "
+                    "needs g++ on PATH)" % args.bvh)
+        scene = dataclasses.replace(
+            scene, bvh=_sah.build(scene.mesh, builder=args.bvh))
     if args.bvh == "cluster" and scene.mesh is not None and not args.no_bvh:
         import dataclasses
         from visionaray_tpu.ops.pallas.cluster_bvh import build_cluster_bvh
