@@ -199,7 +199,10 @@ def pathtrace_loop(ray: Ray, sampler: Sampler, *, num_bounces: int,
 
             if nee:
                 isect_pos0 = ray.at(jnp.where(hit_rec.hit, hit_rec.t, 1.0))
-                take_d = active & ~emissive
+                # delta-BSDF (mirror) lanes: shade() is identically 0, so
+                # their shadow ray can never contribute — drop it from the
+                # occlusion trace (max_t = -1) instead of paying the trace
+                take_d = active & ~emissive & ~surf.materials.is_specular()
                 direct = _nee_direct(lights, nc, surf, n, view_dir,
                                      isect_pos0, eps, ua, ub, ul,
                                      trace_any, mask=take_d)

@@ -198,8 +198,11 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
             closer = ok & (t >= 0.0) & (t < bt) & (~done_mask)
             bt = jnp.where(closer, t, bt)
             bp = jnp.where(closer, pid, bp)
-            bu = jnp.where(closer, b1, bu)
-            bv = jnp.where(closer, b2, bv)
+            if not any_hit:
+                # occlusion queries never read barycentrics; skipping the
+                # two selects trims the flop-bound MT loop on shadow traces
+                bu = jnp.where(closer, b1, bu)
+                bv = jnp.where(closer, b2, bv)
             return bt, bp, bu, bv
 
         # static unroll: SMEM offsets become compile-time constants and the
@@ -823,9 +826,13 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
         # four outputs (dead pairs pointed at Ppad; clamp, mask via `live`)
         lane_of_pair = jnp.zeros((n,), jnp.int32).at[perm].set(
             jnp.minimum(dest, Ppad - 1))
-        out4 = jnp.stack([t_t.reshape(-1), prim_t.reshape(-1),
-                          u_t.reshape(-1), v_t.reshape(-1)], axis=1)
-        res = jnp.take(out4, lane_of_pair, axis=0)      # (n, 4)
+        zc = jnp.zeros((Ppad,), jnp.float32)
+        # 8 columns (4 live + 4 zero), not 4: 16-byte rows fall off the
+        # 32B-aligned row-gather fast path the other two gathers ride
+        out8 = jnp.stack([t_t.reshape(-1), prim_t.reshape(-1),
+                          u_t.reshape(-1), v_t.reshape(-1),
+                          zc, zc, zc, zc], axis=1)
+        res = jnp.take(out8, lane_of_pair, axis=0)[:, :4]   # (n, 4)
         prim_r = res[:, 1]
         hit_r = live & (prim_r >= 0.0)
         tg = ent_c + res[:, 0]
