@@ -642,9 +642,20 @@ def _treelet_entries(o, d, mt, tlo, thi, m: int):
         tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
         hit = (tf >= tn) & (tf >= 0.0) & (tn < mc[:, None])
         ent_all = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
-        neg, idx = jax.lax.top_k(-ent_all, m)
-        ent = -neg
-        slot = idx.astype(jnp.int32)
+        # m smallest entries in ascending order via m argmin/mask passes:
+        # lax.top_k lowers to a full per-row sort on TPU, measured slower
+        # than m cheap VPU reduction passes over the (chunk, S) matrix
+        s_iota = jnp.arange(ent_all.shape[-1], dtype=jnp.int32)[None, :]
+        work = ent_all
+        ents = []
+        slots = []
+        for _ in range(m):
+            idx_r = jnp.argmin(work, axis=-1).astype(jnp.int32)
+            ents.append(jnp.min(work, axis=-1))
+            slots.append(idx_r)
+            work = jnp.where(s_iota == idx_r[:, None], jnp.inf, work)
+        ent = jnp.stack(ents, axis=-1)
+        slot = jnp.stack(slots, axis=-1)
         ovf = jnp.sum(hit, axis=-1) > m
         slot = slot.at[:, m - 1].set(
             jnp.where(ovf, -1, slot[:, m - 1]))
