@@ -7,6 +7,8 @@ from visionaray_tpu.scenes import sponza_like_scene
 from visionaray_tpu.core.types import Ray
 
 M = int(os.environ.get("M", 8))
+import visionaray_tpu.ops.pallas.traverse as trav
+if "BROWS" in os.environ: trav.BINNED_ROWS = int(os.environ["BROWS"])
 scene, cam = sponza_like_scene(target_tris=260_000, build_bvh=False)
 mesh = scene.mesh
 cbvh = jax.jit(build_cluster_bvh, static_argnames=("cluster_size","treelet_size"))(mesh, cluster_size=32, treelet_size=128)
