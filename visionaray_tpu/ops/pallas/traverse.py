@@ -72,15 +72,18 @@ STACK_DEPTH = 64
 _INV_CLAMP = 1e18    # keeps interval products finite (no inf*0 NaNs)
 
 
-def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
-                     out_prim_ref, out_u_ref, out_v_ref, tri_smem, stack_ref,
-                     dma_sem, *, num_clusters: int, cluster_size: int,
-                     any_hit: bool, rows: int, group: int):
+def _traverse_kernel(rays_ref, nodes_ref, roots_ref, splits_ref, tris_hbm,
+                     out_t_ref, out_prim_ref, out_u_ref, out_v_ref, tri_smem,
+                     stack_ref, dma_sem, *, num_clusters: int,
+                     cluster_size: int, any_hit: bool, rows: int,
+                     group: int):
     C = num_clusters
     K = cluster_size
     G = group
     leaf_base = C - 1
     lanes = (rows, 128)
+    chunk_lanes = rows * 128
+    pid0 = pl.program_id(0)
 
     def ray_comp(c, g):
         return rays_ref[c, 0, g]
@@ -88,45 +91,81 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
     def clamp_inv(d):
         return jnp.clip(1.0 / d, -_INV_CLAMP, _INV_CLAMP)
 
-    # --- per-tile interval hull (one-time reductions; scalars thereafter).
-    # DEAD lanes (max_t < 0: padding, culled pairs) are masked out — their
-    # placeholder origins would otherwise inflate the hull to include the
-    # pad value and a partially-dead tile would scan far beyond its rays
-    # (measured 13x slowdown on the binned path before masking).
-    o_iv = []
+    # TWO-PASS tiles (contiguous sorted layout, no segment padding): lanes
+    # [0, split) belong to the tile's first treelet segment and traverse
+    # from roots_ref[0] (pass 0); lanes [split, chunk) hold the remainder
+    # (the next segment, or several small ones) and traverse from
+    # roots_ref[1] (their own treelet root, or the heap LCA of the spanned
+    # treelets) as pass 1.  split == chunk means single-segment: pass 1 is
+    # empty.  The coherent path passes split = chunk everywhere.
+    lane_idx = (jax.lax.broadcasted_iota(jnp.int32, lanes, 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, lanes, 1))
+    split_g = [splits_ref[0, pid0 * G + g] for g in range(G)]
+    rootA_g = [roots_ref[0, pid0 * G + g] for g in range(G)]
+    rootB_g = [roots_ref[1, pid0 * G + g] for g in range(G)]
+
+    def sel_of(g, p):
+        """Lane mask of pass p (0/1) in tile g; p may be a traced scalar."""
+        in_a = lane_idx < split_g[g]
+        return jnp.where(p == 0, in_a, ~in_a)
+
+    # --- per-pass interval hulls (one-time reductions; scalars thereafter).
+    # DEAD lanes (max_t < 0: padding, culled pairs) and the other pass's
+    # lanes are masked out — placeholder origins would otherwise inflate
+    # the hull and the tile would scan far beyond its rays (measured 13x
+    # slowdown on the binned path before masking).
+    o_iv = []   # o_iv[g][pass][axis] = (lo, hi)
     i_iv = []
-    maxt0 = []
+    maxt0 = []  # maxt0[g][pass]
     for g in range(G):
-        alive = ray_comp(6, g) >= 0.0
-        o_iv.append([(jnp.min(jnp.where(alive, ray_comp(c, g), 3e38)),
-                      jnp.max(jnp.where(alive, ray_comp(c, g), -3e38)))
-                     for c in range(3)])
-        i_iv.append([(jnp.min(jnp.where(alive,
-                                        clamp_inv(ray_comp(3 + c, g)),
-                                        _INV_CLAMP)),
-                      jnp.max(jnp.where(alive,
-                                        clamp_inv(ray_comp(3 + c, g)),
-                                        -_INV_CLAMP)))
-                     for c in range(3)])
-        maxt0.append(jnp.max(ray_comp(6, g)))
+        o_iv.append([])
+        i_iv.append([])
+        maxt0.append([])
+        for p in range(2):
+            alive = (ray_comp(6, g) >= 0.0) & sel_of(g, p)
+            o_iv[g].append(
+                [(jnp.min(jnp.where(alive, ray_comp(c, g), 3e38)),
+                  jnp.max(jnp.where(alive, ray_comp(c, g), -3e38)))
+                 for c in range(3)])
+            i_iv[g].append(
+                [(jnp.min(jnp.where(alive, clamp_inv(ray_comp(3 + c, g)),
+                                    _INV_CLAMP)),
+                  jnp.max(jnp.where(alive, clamp_inv(ray_comp(3 + c, g)),
+                                    -_INV_CLAMP)))
+                 for c in range(3)])
+            maxt0[g].append(jnp.max(jnp.where(alive, ray_comp(6, g),
+                                              -1.0)))
 
     def node_f(n, c):
         """Scalar load of component c of node n (SMEM, fully dynamic)."""
         return nodes_ref[0, n * 8 + c]
 
-    def frustum_test(g, n, maxt):
-        """Scalar conservative slab test of tile g's hull vs node n's box.
+    def cur_ivs(g, p):
+        """Scalar-select tile g's hull intervals for traced pass p."""
+        sel = p == 0
+
+        def pick(pair_a, pair_b):
+            return (jnp.where(sel, pair_a[0], pair_b[0]),
+                    jnp.where(sel, pair_a[1], pair_b[1]))
+
+        o_c = [pick(o_iv[g][0][a], o_iv[g][1][a]) for a in range(3)]
+        i_c = [pick(i_iv[g][0][a], i_iv[g][1][a]) for a in range(3)]
+        return (o_c, i_c)
+
+    def frustum_test(ivs, n, maxt):
+        """Scalar conservative slab test of a pass hull vs node n's box.
 
         Returns (descend?, conservative tnear): a superset of "any lane's
         slab test passes with tnear < its best t".
         """
+        o_ivs, i_ivs = ivs
         tn = jnp.float32(-3e38)
         tf = jnp.float32(3e38)
         for a in range(3):
             blo = node_f(n, a)
             bhi = node_f(n, 3 + a)
-            (olo, ohi) = o_iv[g][a]
-            (ilo, ihi) = i_iv[g][a]
+            (olo, ohi) = o_ivs[a]
+            (ilo, ihi) = i_ivs[a]
             axis_lo = jnp.float32(3e38)
             axis_hi = jnp.float32(-3e38)
             for b in (blo, bhi):
@@ -245,8 +284,8 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
             return alive
 
         def body(state):
-            done, node, sp, maxt, best_t, best_prim, best_u, best_v = \
-                [list(x) for x in state]
+            (done, node, sp, maxt, pas, best_t, best_prim, best_u,
+             best_v) = [list(x) for x in state]
 
             # pass A: detect leaves, launch all leaf DMAs up front so they
             # overlap the scalar traversal below
@@ -260,26 +299,31 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
                     dma_for(g, jnp.maximum(node[g] - leaf_base, 0)).start()
 
             # pass B: per-tile step
-            new_state = ([], [], [], [], [], [], [], [])
+            new_state = ([], [], [], [], [], [], [], [], [])
             for g in range(G):
+                ivs = cur_ivs(g, pas[g])
+
                 # --- leaf path: wait DMA, dense vector intersect, refresh
                 # the scalar occlusion bound (the only vector work + the
                 # only vector->scalar sync in the loop)
-                def do_leaf(args, g=g):
+                def do_leaf(args, g=g, pas_g=pas[g]):
                     bt, bp, bu, bv, mt_ = args
                     dma_for(g, jnp.maximum(node[g] - leaf_base, 0)).wait()
-                    done_mask = (bt < ray_comp(6, g)) if any_hit else \
-                        jnp.zeros(lanes, jnp.bool_)
+                    sel = sel_of(g, pas_g)
+                    done_mask = ~sel
+                    if any_hit:
+                        done_mask = done_mask | (bt < ray_comp(6, g))
                     bt, bp, bu, bv = intersect_cluster(
                         g, bt, bp, bu, bv, done_mask)
                     if any_hit:
-                        # remaining-work bound: max max_t over lanes still
-                        # unoccluded (padding lanes carry max_t < 0)
-                        mt_ = jnp.max(jnp.where(bt < ray_comp(6, g),
-                                                jnp.float32(-1.0),
-                                                ray_comp(6, g)))
+                        # remaining-work bound: max max_t over THIS pass's
+                        # lanes still unoccluded (dead lanes max_t < 0)
+                        mt_ = jnp.max(jnp.where(
+                            sel & ~(bt < ray_comp(6, g)),
+                            ray_comp(6, g), jnp.float32(-1.0)))
                     else:
-                        mt_ = jnp.max(bt)
+                        mt_ = jnp.max(jnp.where(sel, bt,
+                                                jnp.float32(-1.0)))
                     return bt, bp, bu, bv, mt_
 
                 bt, bp, bu, bv, mt_ = jax.lax.cond(
@@ -292,8 +336,8 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
                                    jnp.int32(max(leaf_base - 1, 0)))
                 left = node_f(safe, 6).astype(jnp.int32)
                 right = node_f(safe, 7).astype(jnp.int32)
-                w1, tn1 = frustum_test(g, left, mt_)
-                w2, tn2 = frustum_test(g, right, mt_)
+                w1, tn1 = frustum_test(ivs, left, mt_)
+                w2, tn2 = frustum_test(ivs, right, mt_)
                 a1 = w1 & (~is_leaf[g])
                 a2 = w2 & (~is_leaf[g])
                 near_is_l = tn1 <= tn2
@@ -315,39 +359,59 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, tris_hbm, out_t_ref,
                 need_pop = is_leaf[g] | (next_node < 0)
                 early = jnp.bool_(False)
                 if any_hit:
-                    # whole-tile early exit: every live lane occluded
+                    # whole-pass early exit: every live lane occluded
                     early = mt_ < 0.0
                 can_pop = sp2 > 0
                 popped = stack_ref[g, jnp.maximum(sp2 - 1, 0)]
-                nn = jnp.where(need_pop,
-                               jnp.where(can_pop, popped, 0), next_node)
-                nsp = jnp.where(need_pop & can_pop, sp2 - 1, sp2)
-                nd = (need_pop & (~can_pop)) | early
+                exhausted = (need_pop & (~can_pop)) | early
+                # pass switch: first segment exhausted -> traverse the
+                # remainder lanes from roots_ref[1] with a fresh stack
+                has_b = (split_g[g] < chunk_lanes) & \
+                    (maxt0[g][1] >= 0.0)
+                to_b = exhausted & (pas[g] == 0) & has_b
+                nd = exhausted & (~to_b)
+                nn = jnp.where(
+                    to_b, rootB_g[g],
+                    jnp.where(need_pop,
+                              jnp.where(can_pop, popped, 0), next_node))
+                nsp = jnp.where(to_b, 0,
+                                jnp.where(need_pop & can_pop, sp2 - 1,
+                                          sp2))
+                mt_ = jnp.where(to_b, maxt0[g][1], mt_)
+                npas = jnp.where(to_b, 1, pas[g])
 
                 new_state[0].append(done[g] | nd)
                 new_state[1].append(jnp.where(done[g], node[g], nn))
                 new_state[2].append(jnp.where(done[g], sp[g], nsp))
                 new_state[3].append(mt_)
-                new_state[4].append(bt)
-                new_state[5].append(bp)
-                new_state[6].append(bu)
-                new_state[7].append(bv)
+                new_state[4].append(jnp.where(done[g], pas[g], npas))
+                new_state[5].append(bt)
+                new_state[6].append(bp)
+                new_state[7].append(bu)
+                new_state[8].append(bv)
             return tuple(tuple(x) for x in new_state)
 
-        # per-tile start node (SMEM scalar): 0 = global root; a treelet
-        # root confines the traversal to that subtree (binned path).
-        # roots is one flat SMEM row (Mosaic needs SMEM blocks (8,128)-
-        # divisible or full-size) indexed by the grid position.
-        # Tiles with NO live lane (maxt0 < 0) start done: their masked
-        # hull is the empty interval whose frustum arithmetic degenerates.
-        pid0 = pl.program_id(0)
-        init = (tuple(maxt0[g] < 0.0 for g in range(G)),
-                tuple(roots_ref[0, pid0 * G + g] for g in range(G)),
-                tuple(jnp.int32(0) for _ in range(G)),
-                tuple(maxt0), tuple(best_t0), tuple(best_prim0),
-                tuple(best_u0), tuple(best_v0))
-        _, _, _, _, best_t, best_prim, best_u, best_v = jax.lax.while_loop(
-            cond, body, init)
+        # Per-tile start nodes/splits (SMEM scalar rows; Mosaic needs SMEM
+        # blocks (8,128)-divisible or full-size) indexed by grid position.
+        # A tile whose pass-A hull is empty (maxt0 < 0) starts on pass B if
+        # that has live lanes, else starts done: an empty masked hull is
+        # the empty interval whose frustum arithmetic degenerates.  Dead
+        # lanes sort after live ones, so pass A is only empty when the
+        # whole tile is dead — the pass-B fallback is defensive.
+        a_dead = [maxt0[g][0] < 0.0 for g in range(G)]
+        b_live = [maxt0[g][1] >= 0.0 for g in range(G)]
+        init = (
+            tuple(a_dead[g] & (~b_live[g]) for g in range(G)),
+            tuple(jnp.where(a_dead[g], rootB_g[g], rootA_g[g])
+                  for g in range(G)),
+            tuple(jnp.int32(0) for _ in range(G)),
+            tuple(jnp.where(a_dead[g], maxt0[g][1], maxt0[g][0])
+                  for g in range(G)),
+            tuple(jnp.where(a_dead[g], 1, 0) for g in range(G)),
+            tuple(best_t0), tuple(best_prim0),
+            tuple(best_u0), tuple(best_v0))
+        (_, _, _, _, _, best_t, best_prim, best_u,
+         best_v) = jax.lax.while_loop(cond, body, init)
 
     for g in range(G):
         out_t_ref[0, g] = best_t[g]
@@ -364,11 +428,14 @@ def _round_up(x, m):
                                              "any_hit", "interpret"))
 def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
                       cluster_size: int, any_hit: bool = False,
-                      interpret: bool = False, tile_roots=None):
+                      interpret: bool = False, tile_roots=None,
+                      tile_splits=None):
     """rays8: (8, n_groups, G, R, 128) rows [ox oy oz dx dy dz maxt pad].
 
-    ``tile_roots``: optional (n_groups, G) i32 start node per tile (binned
-    traversal); None = global root everywhere.
+    ``tile_roots``: optional (2, n_groups, G) i32 start nodes per tile
+    (pass A / pass B of the two-pass contiguous layout); None = global
+    root everywhere.  ``tile_splits``: optional (n_groups, G) i32 lane
+    index where pass B starts; None = R*128 (single-pass tiles).
     Returns (t, prim_f, u, v) each (n_groups, G, R, 128); prim_f = -1 if
     no hit.
     """
@@ -376,8 +443,11 @@ def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
     group = rays8.shape[2]
     rows = rays8.shape[3]
     if tile_roots is None:
-        tile_roots = jnp.zeros((n_groups, group), jnp.int32)
-    tile_roots = tile_roots.reshape(1, n_groups * group)
+        tile_roots = jnp.zeros((2, n_groups, group), jnp.int32)
+    if tile_splits is None:
+        tile_splits = jnp.full((n_groups, group), rows * 128, jnp.int32)
+    tile_roots = tile_roots.reshape(2, n_groups * group)
+    tile_splits = tile_splits.reshape(1, n_groups * group)
     kernel = functools.partial(
         _traverse_kernel, num_clusters=num_clusters,
         cluster_size=cluster_size, any_hit=any_hit, rows=rows, group=group)
@@ -393,6 +463,7 @@ def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # node table (scalars)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # per-tile start nodes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # per-tile pass splits
             pl.BlockSpec(memory_space=pl.ANY),       # tris stay in HBM
         ],
         out_specs=[
@@ -410,7 +481,7 @@ def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
             pltpu.SemaphoreType.DMA((group,)),
         ],
         interpret=interpret,
-    )(rays8, nodes_flat, tile_roots, tris)
+    )(rays8, nodes_flat, tile_roots, tile_splits, tris)
     return out_t, out_prim, out_u, out_v
 
 
@@ -710,22 +781,27 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
     troots = sg(cbvh.treelet_roots)
     rows = BINNED_ROWS
     chunk = rows * 128
-    # CHUNK-ALIGNED VARIABLE SEGMENTS: a kernel tile must never mix
-    # treelets — a confined tile was measured 180x faster than one given an
-    # ancestor subtree (the interval hull degenerates and scans whatever
-    # subtree it gets).  Each round lays the treelet-sorted live pairs out
-    # with every treelet's run padded up to a tile boundary (dead lanes
-    # retire in one frustum test), so HOT treelets simply own several
-    # consecutive tiles (fixed-capacity buckets spilled ~30% of pairs to a
-    # whole-tree region on this scene — occupancy is highly skewed).
-    # Whole-tree (-1) slots form one root-0 segment at the end.
-    n_groups = _round_up(n + (S + 1) * chunk,
-                         chunk * INTERLEAVE) // (chunk * INTERLEAVE)
-    Ppad = n_groups * chunk * INTERLEAVE
-    n_tiles = Ppad // chunk
+    # CONTIGUOUS SORTED LAYOUT (round-3 rewrite): pairs are sorted
+    # treelet-major (dead rays last) and the kernel consumes them densely —
+    # no per-segment padding, no scatter/spread-gather routing.  A tile
+    # whose lanes straddle a segment boundary runs TWO masked passes
+    # inside the kernel: pass A for the first treelet's lanes (its root),
+    # pass B for the remainder (the second treelet's root, or — when
+    # several small segments share the tile — the heap LCA of the spanned
+    # treelets; any whole-tree (-1) slot in the remainder forces root 0).
+    # Traversing a pair from an ancestor of its assigned treelet is
+    # conservative-correct: results combine by global-t min, and the
+    # pass hull masks to exactly the remainder lanes.  This replaced the
+    # round-2 chunk-aligned padded-segment layout, whose routing cost two
+    # scatters + two row gathers per live round.
+    npad = _round_up(max(n, chunk * INTERLEAVE), chunk * INTERLEAVE)
+    n_groups = npad // (chunk * INTERLEAVE)
+    n_tiles = npad // chunk
+    lca_steps = max(1, int(np.ceil(np.log2(max(S, 2)))) + 1)
 
     # static across rounds: direction octant + per-pair index payload
-    iota_n = jnp.arange(n, dtype=jnp.int32)
+    iota_np = jnp.arange(npad, dtype=jnp.int32)
+    tile_iota = jnp.arange(n_tiles, dtype=jnp.int32)
     octant = ((d[:, 0] < 0).astype(jnp.uint32)
               + ((d[:, 1] < 0).astype(jnp.uint32) << 1)
               + ((d[:, 2] < 0).astype(jnp.uint32) << 2))
@@ -769,81 +845,73 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
         skey = jnp.where(live, jnp.where(slot_r < 0, S, slot_r),
                          S + 1).astype(jnp.uint32)
         key = (skey << jnp.uint32(22)) | (octant << jnp.uint32(19)) | mor
-        key_s, perm = jax.lax.sort((key, iota_n), num_keys=1,
+        key_p = jnp.concatenate(
+            [key, jnp.full((npad - n,), jnp.uint32((S + 1) << 22))]) \
+            if npad > n else key
+        key_s, perm = jax.lax.sort((key_p, iota_np), num_keys=1,
                                    is_stable=True)
-        skey_s = key_s >> jnp.uint32(22)
+        skey_s = (key_s >> jnp.uint32(22)).astype(jnp.int32)
 
-        # aligned segment layout: value s (treelet 0..S-1, S = whole-tree)
-        # starts at a tile boundary and owns ceil(count_s / chunk) tiles.
-        # Per-element destinations come from a boundary cumsum over the
-        # SORTED keys — dest_j = j + (padding inserted at every segment
-        # boundary before j) — instead of per-element table gathers, which
-        # profiled at 40-290 ms per 1M-element 1-D gather (the round-2
-        # binning glue was 75% of the traversal step before this).
-        bnd = jnp.concatenate([jnp.zeros((1,), jnp.bool_),
-                               skey_s[1:] != skey_s[:-1]])
-        seg_start = jax.lax.cummax(jnp.where(bnd, iota_n, 0))
-        prev_start = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), seg_start[:-1]])
-        pad_here = jnp.where(bnd, (-(iota_n - prev_start)) % chunk, 0)
-        dest = iota_n + jnp.cumsum(pad_here)
-        dest = jnp.where(skey_s <= S, dest, Ppad)       # dead -> dropped
-
-        # segment table only for the (n_tiles,)-sized tile-root lookup
-        seg = jnp.searchsorted(skey_s,
-                               jnp.arange(S + 2, dtype=jnp.uint32))
-        count = seg[1: S + 2] - seg[: S + 1]            # values 0..S
-        aligned = ((count + chunk - 1) // chunk) * chunk
-        astart = jnp.concatenate([
-            jnp.zeros((1,), aligned.dtype), jnp.cumsum(aligned)])  # (S+2,)
-
-        # lane -> original pair in ONE scatter (scatter perm itself), then
-        # ONE 32-byte-row gather of the fused per-pair table instead of
-        # three narrow 1-D gathers (same fast path as the corner table:
-        # 32B-aligned power-of-two rows).  An (n,8)-row-scatter routing
-        # variant (touch n rows twice instead of gathering Ppad rows)
-        # measured 40% SLOWER — TPU row scatters cost more per row than
-        # row gathers.
-        src_pair = jnp.full((Ppad,), -1, jnp.int32).at[dest].set(
-            perm, mode="drop")
-        dead = src_pair < 0
-        srcc = jnp.maximum(src_pair, 0)
+        # ONE fused 32B-row gather routes pairs into the sorted contiguous
+        # layout (an (n,8)-row-scatter variant measured 40% SLOWER — TPU
+        # row scatters cost more per row than row gathers); padding rows
+        # carry max_t = -1 so they never traverse.
         tbl8 = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
                           d[:, 0], d[:, 1], d[:, 2], ent_c, mtp], axis=1)
-        g8 = jnp.take(tbl8, srcc, axis=0)               # (Ppad, 8)
-        op_k = jnp.where(dead[:, None], 0.0,
-                         g8[:, 0:3] + g8[:, 3:6] * g8[:, 6:7])
-        d_k = jnp.where(dead[:, None], 1.0, g8[:, 3:6])
-        mt_k = jnp.where(dead, -1.0, g8[:, 7])
+        if npad > n:
+            pad_row = jnp.concatenate(
+                [jnp.zeros((3,)), jnp.ones((3,)), jnp.zeros((1,)),
+                 jnp.full((1,), -1.0)]).astype(jnp.float32)
+            tbl8 = jnp.concatenate(
+                [tbl8, jnp.broadcast_to(pad_row, (npad - n, 8))], axis=0)
+        g8 = jnp.take(tbl8, perm, axis=0)               # (npad, 8)
+        op_k = g8[:, 0:3] + g8[:, 3:6] * g8[:, 6:7]
+        d_k = g8[:, 3:6]
+        mt_k = g8[:, 7]
 
-        # per-tile roots: the segment covering the tile's first lane
-        # (segments are tile-aligned, so a tile never straddles two)
-        tile_seg = jnp.searchsorted(
-            astart[1:], jnp.arange(n_tiles, dtype=astart.dtype) * chunk,
-            side="right").astype(jnp.int32)
-        tile_roots = jnp.where(
-            tile_seg < S, jnp.take(troots, jnp.minimum(tile_seg, S - 1)),
-            0).reshape(n_groups, INTERLEAVE)
+        # per-tile two-pass metadata from the (S+3,)-sized segment table:
+        # first segment's span gives (rootA, split); the remainder's span
+        # gives rootB (own root / heap LCA / root 0 for whole-tree slots)
+        segstart = jnp.searchsorted(
+            skey_s, jnp.arange(S + 3, dtype=jnp.int32)).astype(jnp.int32)
+        tile0 = skey_s.reshape(n_tiles, chunk)[:, 0]
+        n_live_tot = segstart[S + 1]
+        idx_ll = jnp.clip(jnp.minimum((tile_iota + 1) * chunk, n_live_tot)
+                          - 1, 0, npad - 1)
+        tile_ll = jnp.take(skey_s, idx_ll)      # last LIVE seg in tile
+        split = jnp.clip(
+            jnp.take(segstart, jnp.minimum(tile0 + 1, S + 2))
+            - tile_iota * chunk, 1, chunk).astype(jnp.int32)
+        rootA = jnp.where(tile0 < S,
+                          jnp.take(troots, jnp.clip(tile0, 0, S - 1)),
+                          0).astype(jnp.int32)
+        second = tile0 + 1
+        wt = (second >= S) | (tile_ll >= S)     # whole-tree slot in B
+        x = (S - 1) + jnp.clip(second, 0, S - 1)
+        y = (S - 1) + jnp.clip(tile_ll, 0, S - 1)
+        for _ in range(lca_steps):
+            ne = x != y
+            x, y = (jnp.where(ne, (x - 1) >> 1, x),
+                    jnp.where(ne, (y - 1) >> 1, y))
+        rootB = jnp.where(wt, 0, x).astype(jnp.int32)
+        tile_roots = jnp.stack([rootA, rootB]).reshape(
+            2, n_groups, INTERLEAVE)
+        tile_splits = split.reshape(n_groups, INTERLEAVE)
 
-        rays8 = _pack_rays(op_k, d_k, mt_k, Ppad, Ppad, n_groups,
+        rays8 = _pack_rays(op_k, d_k, mt_k, npad, npad, n_groups,
                            INTERLEAVE, rows, pad_maxt=-1.0)
         t_t, prim_t, u_t, v_t = _cluster_traverse(
             rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
             cbvh.cluster_size, any_hit=any_hit, interpret=interpret,
-            tile_roots=tile_roots)
+            tile_roots=tile_roots, tile_splits=tile_splits)
 
-        # route kernel outputs back: pair perm[j] sits at lane dest[j] —
-        # ONE scatter builds pair->lane, ONE fused row gather un-sorts all
-        # four outputs (dead pairs pointed at Ppad; clamp, mask via `live`)
-        lane_of_pair = jnp.zeros((n,), jnp.int32).at[perm].set(
-            jnp.minimum(dest, Ppad - 1))
-        zc = jnp.zeros((Ppad,), jnp.float32)
-        # 8 columns (4 live + 4 zero), not 4: 16-byte rows fall off the
-        # 32B-aligned row-gather fast path the other two gathers ride
-        out8 = jnp.stack([t_t.reshape(-1), prim_t.reshape(-1),
-                          u_t.reshape(-1), v_t.reshape(-1),
-                          zc, zc, zc, zc], axis=1)
-        res = jnp.take(out8, lane_of_pair, axis=0)[:, :4]   # (n, 4)
+        # un-sort: ONE sort keyed by the carried original pair index puts
+        # all four outputs back in ray order (replaces the round-2
+        # scatter + row-gather pair)
+        _, t_o, p_o, u_o, v_o = jax.lax.sort(
+            (perm, t_t.reshape(-1), prim_t.reshape(-1),
+             u_t.reshape(-1), v_t.reshape(-1)), num_keys=1)
+        res = jnp.stack([t_o[:n], p_o[:n], u_o[:n], v_o[:n]], axis=1)
         prim_r = res[:, 1]
         hit_r = live & (prim_r >= 0.0)
         tg = ent_c + res[:, 0]
