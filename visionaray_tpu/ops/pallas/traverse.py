@@ -105,9 +105,14 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, splits_ref, tris_hbm,
     rootB_g = [roots_ref[1, pid0 * G + g] for g in range(G)]
 
     def sel_of(g, p):
-        """Lane mask of pass p (0/1) in tile g; p may be a traced scalar."""
+        """Lane mask of pass p (0/1) in tile g; p may be a traced scalar.
+
+        Formulated as mask XOR, not jnp.where: Mosaic cannot legalize
+        arith.select with vector<i1> operands (the round-3 HEAD compile
+        failure), but xor on masks lowers fine.  p==0 -> in_a, else ~in_a.
+        """
         in_a = lane_idx < split_g[g]
-        return jnp.where(p == 0, in_a, ~in_a)
+        return in_a ^ (p != 0)
 
     # --- per-pass interval hulls (one-time reductions; scalars thereafter).
     # DEAD lanes (max_t < 0: padding, culled pairs) and the other pass's
@@ -906,11 +911,17 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
             tile_roots=tile_roots, tile_splits=tile_splits)
 
         # un-sort: ONE sort keyed by the carried original pair index puts
-        # all four outputs back in ray order (replaces the round-2
-        # scatter + row-gather pair)
-        _, t_o, p_o, u_o, v_o = jax.lax.sort(
-            (perm, t_t.reshape(-1), prim_t.reshape(-1),
-             u_t.reshape(-1), v_t.reshape(-1)), num_keys=1)
+        # the outputs back in ray order (replaces the round-2
+        # scatter + row-gather pair).  any_hit never writes u/v in the
+        # kernel, so the shadow path drops those two payload columns.
+        if any_hit:
+            _, t_o, p_o = jax.lax.sort(
+                (perm, t_t.reshape(-1), prim_t.reshape(-1)), num_keys=1)
+            u_o = v_o = jnp.zeros_like(t_o)
+        else:
+            _, t_o, p_o, u_o, v_o = jax.lax.sort(
+                (perm, t_t.reshape(-1), prim_t.reshape(-1),
+                 u_t.reshape(-1), v_t.reshape(-1)), num_keys=1)
         res = jnp.stack([t_o[:n], p_o[:n], u_o[:n], v_o[:n]], axis=1)
         prim_r = res[:, 1]
         hit_r = live & (prim_r >= 0.0)
