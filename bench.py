@@ -36,6 +36,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 # Measured on this host (2 cores): `ref_harness bench` on the dumped
 # sponza_like_scene(260k), 1920x1080, 5 bounces — the reference's own
@@ -107,67 +108,58 @@ def main():
     xt = xp.reshape(n_tiles, TILE)
     yt = yp.reshape(n_tiles, TILE)
 
-    def loss_fn(verts, cd, frame):
-        mesh2 = dataclasses.replace(params.scene.mesh, vertices=verts)
-        mats2 = dataclasses.replace(params.scene.materials, cd=cd)
-        scene2 = dataclasses.replace(params.scene, mesh=mesh2,
-                                     materials=mats2)
-        p2 = dataclasses.replace(params, scene=scene2)
+    # All scene/BVH tables and the pixel swizzle enter the jitted programs
+    # as ARGUMENTS, never as closure constants: lowering a closed-over
+    # device array embeds it as an MLIR constant, which first FETCHES it
+    # back to the host (profiled: ~290 s of the 397 s compile_s was
+    # exactly these transfers through the axon tunnel;
+    # tests/profile_trace.py).
+    def loss_fn(verts, cd, frame, p, kam, txt, tyt, nee):
+        mesh2 = dataclasses.replace(p.scene.mesh, vertices=verts)
+        mats2 = dataclasses.replace(p.scene.materials, cd=cd)
+        scene2 = dataclasses.replace(p.scene, mesh=mesh2, materials=mats2)
+        p2 = dataclasses.replace(p, scene=scene2)
 
         def tile_fn(args):
             tx, ty = args
-            color, _ = render_pixels(p2, cam, tx, ty, WIDTH, HEIGHT,
+            color, _ = render_pixels(p2, kam, tx, ty, WIDTH, HEIGHT,
                                      "pathtracing", SPP, "jittered_blend",
-                                     frame, nee=NEE)
+                                     frame, nee=nee)
             return jnp.sum(color[..., :3])
 
-        sums = jax.lax.map(tile_fn, (xt, yt))
+        sums = jax.lax.map(tile_fn, (txt, tyt))
         return jnp.sum(sums) / (n * 3)
 
-    step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+    step = jax.jit(jax.value_and_grad(
+        partial(loss_fn, nee=NEE), argnums=(0, 1)))
 
     # forward-only, no NEE: the reference kernel's exact workload
     # (pathtracing.inl has no next-event estimation), for fwd-vs-fwd
-    def fwd_frame(verts, cd, frame):
-        mesh2 = dataclasses.replace(params.scene.mesh, vertices=verts)
-        mats2 = dataclasses.replace(params.scene.materials, cd=cd)
-        scene2 = dataclasses.replace(params.scene, mesh=mesh2,
-                                     materials=mats2)
-        p2 = dataclasses.replace(params, scene=scene2)
-
-        def tile_fn(args):
-            tx, ty = args
-            color, _ = render_pixels(p2, cam, tx, ty, WIDTH, HEIGHT,
-                                     "pathtracing", SPP, "jittered_blend",
-                                     frame, nee=False)
-            return jnp.sum(color[..., :3])
-
-        return jnp.sum(jax.lax.map(tile_fn, (xt, yt)))
-
-    fwd = jax.jit(fwd_frame)
+    fwd = jax.jit(partial(loss_fn, nee=False))
 
     verts = scene.mesh.vertices
     cd = scene.materials.cd
 
     # warm up / compile
     t0 = time.perf_counter()
-    loss, grads = step(verts, cd, jnp.uint32(1))
+    loss, grads = step(verts, cd, jnp.uint32(1), params, cam, xt, yt)
     loss.block_until_ready()
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    fwd(verts, cd, jnp.uint32(1)).block_until_ready()
+    fwd(verts, cd, jnp.uint32(1), params, cam, xt, yt).block_until_ready()
     fwd_compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for i in range(REPS):
-        loss, grads = step(verts, cd, jnp.uint32(i + 2))
+        loss, grads = step(verts, cd, jnp.uint32(i + 2), params, cam,
+                           xt, yt)
     jax.block_until_ready((loss, grads))
     sec_per_step = (time.perf_counter() - t0) / REPS
 
     t0 = time.perf_counter()
     for i in range(REPS):
-        f = fwd(verts, cd, jnp.uint32(i + 2))
+        f = fwd(verts, cd, jnp.uint32(i + 2), params, cam, xt, yt)
     f.block_until_ready()
     sec_per_fwd = (time.perf_counter() - t0) / REPS
 
@@ -180,13 +172,13 @@ def main():
             from visionaray_tpu.ops.pallas.traverse import (
                 cluster_closest_hit,
             )
-            prim = jax.jit(lambda: cluster_closest_hit(
-                cam.primary_rays(xp, yp, WIDTH, HEIGHT), scene.bvh,
-                scene.mesh).t)
-            prim().block_until_ready()
+            prim = jax.jit(
+                lambda kam, bvh, mesh, px, py: cluster_closest_hit(
+                    kam.primary_rays(px, py, WIDTH, HEIGHT), bvh, mesh).t)
+            prim(cam, scene.bvh, scene.mesh, xp, yp).block_until_ready()
             t0 = time.perf_counter()
             for _ in range(REPS):
-                out = prim()
+                out = prim(cam, scene.bvh, scene.mesh, xp, yp)
             out.block_until_ready()
             coherent_mrays = xp.shape[0] / (
                 (time.perf_counter() - t0) / REPS) / 1e6
@@ -239,6 +231,13 @@ def main():
             "baseline_mrays": REF_CPU_MRAYS,
         },
     }))
+    if compile_s > COMPILE_BUDGET_S:
+        # rc != 0 so the driver artifact flags compile blowups the same
+        # way it flags Mosaic failures (VERDICT r3 #10). The JSON line is
+        # already printed - the artifact still carries the measurement.
+        print(f"FAIL: compile_s {compile_s:.1f} > budget "
+              f"{COMPILE_BUDGET_S:.0f}s", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -74,6 +74,11 @@ def main(argv=None):
     p.add_argument("--bounces", type=int, default=None)
     p.add_argument("--ambient", type=float, nargs=3, default=None)
     p.add_argument("--camera", default=None, help="camera file to load")
+    p.add_argument("--camera-matrix", action="store_true",
+                   help="generate primary rays through the inverse "
+                        "view-proj matrix path (MatrixCamera, the "
+                        "reference's sched_common.h:152-178) instead of "
+                        "the pinhole basis")
     p.add_argument("--eye", type=float, nargs=3, default=None)
     p.add_argument("--center", type=float, nargs=3, default=None)
     p.add_argument("--fovy", type=float, default=45.0, help="degrees")
@@ -101,6 +106,11 @@ def main(argv=None):
     p.add_argument("--target-tris", type=int, default=260_000)
     p.add_argument("--benchmark", action="store_true",
                    help="print Mrays/s metrics as JSON")
+    p.add_argument("--dump-bvh", default=None, metavar="PNG",
+                   help="write a level-colored AABB-outline rendering of "
+                        "the built BVH + a stats line, then exit (the "
+                        "headless analogue of the reference's "
+                        "gl/bvh_outline_renderer.h debug view)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--elastic", action="store_true",
                    help="elastic scheduler: per-batch re-dispatch on "
@@ -167,6 +177,22 @@ def main(argv=None):
                 cam = cam0.look_at(args.eye, center)
             else:
                 cam = cam0.view_all(np.asarray(bbox.lo), np.asarray(bbox.hi))
+
+    if args.camera_matrix:
+        from visionaray_tpu.core.camera import MatrixCamera
+        cam = MatrixCamera.from_pinhole(cam)
+
+    if args.dump_bvh:
+        import json as _json
+
+        from visionaray_tpu.utils.bvh_debug import dump_bvh
+        tgt = scene.bvh if scene.bvh is not None else scene.sphere_bvh
+        if tgt is None:
+            p.error("--dump-bvh: the scene has no BVH "
+                    "(drop --no-bvh or pick --bvh)")
+        stats = dump_bvh(tgt, args.dump_bvh, width=args.width or 1024)
+        print(_json.dumps({"bvh_dump": args.dump_bvh, **stats}))
+        return 0
 
     ambient = tuple(args.ambient) + (1.0,) if args.ambient else None
     t_start = time.perf_counter()

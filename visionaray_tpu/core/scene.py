@@ -150,17 +150,21 @@ class Scene:
     bvh: Any = None          # ops.lbvh.BVH or None
     textures: Any = None     # shading.texture.TextureAtlas or None
     volumes: Any = None      # kernels.volume.Volumes or None
+    sphere_bvh: Any = None   # ops.lbvh.BVH over spheres or None (the
+                             # reference's generic build(), bvh.h:438-448)
 
     @staticmethod
     def create(mesh=None, spheres=None, planes=None, materials=None,
-               lights=None, bvh=None, textures=None, volumes=None):
+               lights=None, bvh=None, textures=None, volumes=None,
+               sphere_bvh=None):
         if materials is None:
             materials = Materials.default()
         if lights is None:
             lights = PointLights.none()
         return Scene(mesh=mesh, spheres=spheres, planes=planes,
                      materials=materials, lights=lights, bvh=bvh,
-                     textures=textures, volumes=volumes)
+                     textures=textures, volumes=volumes,
+                     sphere_bvh=sphere_bvh)
 
     @property
     def num_triangles(self):

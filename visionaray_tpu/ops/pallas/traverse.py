@@ -752,6 +752,54 @@ def _treelet_entries(o, d, mt, tlo, thi, m: int):
     return ent.reshape(npad, m)[:n], slot.reshape(npad, m)[:n]
 
 
+def _two_pass_tile_meta(skey_s, troots, S: int, n_tiles: int, chunk: int,
+                        lca_steps: int, npad: int):
+    """Per-tile two-pass metadata from the sorted segment keys.
+
+    ``skey_s``: (npad,) i32 sorted segment key per lane — treelet index in
+    [0, S), S for whole-tree slots, S+1 for dead/padding lanes.  Returns
+    (split, rootA, rootB), each (n_tiles,) i32:
+
+    - ``split``: lane where pass B starts — the end of the tile's FIRST
+      segment (clipped to [1, chunk]; chunk = single-pass tile).
+    - ``rootA``: pass-A start node — the first segment's treelet root, or
+      the global root 0 for whole-tree/dead-leading tiles.
+    - ``rootB``: pass-B start node — the single remaining treelet's root,
+      the heap LCA of the spanned treelets, or root 0 when any whole-tree
+      slot lands in pass B.  Dead (padding) lanes never traverse (their
+      max_t is -1), so they cannot widen rootB: the last LIVE lane bounds
+      the spanned range.
+
+    Factored out of _round_live so the CPU suite can pin the metadata for
+    straddling tiles directly (VERDICT r3 #9).
+    """
+    tile_iota = jnp.arange(n_tiles, dtype=jnp.int32)
+    # segstart[k] = first sorted position with key >= k, for k in [0, S+2]
+    segstart = jnp.searchsorted(
+        skey_s, jnp.arange(S + 3, dtype=jnp.int32)).astype(jnp.int32)
+    tile0 = skey_s.reshape(n_tiles, chunk)[:, 0]
+    n_live_tot = segstart[S + 1]
+    idx_ll = jnp.clip(jnp.minimum((tile_iota + 1) * chunk, n_live_tot)
+                      - 1, 0, npad - 1)
+    tile_ll = jnp.take(skey_s, idx_ll)      # last LIVE seg in tile
+    split = jnp.clip(
+        jnp.take(segstart, jnp.minimum(tile0 + 1, S + 2))
+        - tile_iota * chunk, 1, chunk).astype(jnp.int32)
+    rootA = jnp.where(tile0 < S,
+                      jnp.take(troots, jnp.clip(tile0, 0, S - 1)),
+                      0).astype(jnp.int32)
+    second = tile0 + 1
+    wt = (second >= S) | (tile_ll >= S)     # whole-tree slot in B
+    x = (S - 1) + jnp.clip(second, 0, S - 1)
+    y = (S - 1) + jnp.clip(tile_ll, 0, S - 1)
+    for _ in range(lca_steps):
+        ne = x != y
+        x, y = (jnp.where(ne, (x - 1) >> 1, x),
+                jnp.where(ne, (y - 1) >> 1, y))
+    rootB = jnp.where(wt, 0, x).astype(jnp.int32)
+    return split, rootA, rootB
+
+
 def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
                   m: int, any_hit: bool):
     """Shared binned driver; returns per-RAY outs (n, 4) [t prim u v] with
@@ -806,7 +854,6 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
 
     # static across rounds: direction octant + per-pair index payload
     iota_np = jnp.arange(npad, dtype=jnp.int32)
-    tile_iota = jnp.arange(n_tiles, dtype=jnp.int32)
     octant = ((d[:, 0] < 0).astype(jnp.uint32)
               + ((d[:, 1] < 0).astype(jnp.uint32) << 1)
               + ((d[:, 2] < 0).astype(jnp.uint32) << 2))
@@ -874,31 +921,8 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
         d_k = g8[:, 3:6]
         mt_k = g8[:, 7]
 
-        # per-tile two-pass metadata from the (S+3,)-sized segment table:
-        # first segment's span gives (rootA, split); the remainder's span
-        # gives rootB (own root / heap LCA / root 0 for whole-tree slots)
-        segstart = jnp.searchsorted(
-            skey_s, jnp.arange(S + 3, dtype=jnp.int32)).astype(jnp.int32)
-        tile0 = skey_s.reshape(n_tiles, chunk)[:, 0]
-        n_live_tot = segstart[S + 1]
-        idx_ll = jnp.clip(jnp.minimum((tile_iota + 1) * chunk, n_live_tot)
-                          - 1, 0, npad - 1)
-        tile_ll = jnp.take(skey_s, idx_ll)      # last LIVE seg in tile
-        split = jnp.clip(
-            jnp.take(segstart, jnp.minimum(tile0 + 1, S + 2))
-            - tile_iota * chunk, 1, chunk).astype(jnp.int32)
-        rootA = jnp.where(tile0 < S,
-                          jnp.take(troots, jnp.clip(tile0, 0, S - 1)),
-                          0).astype(jnp.int32)
-        second = tile0 + 1
-        wt = (second >= S) | (tile_ll >= S)     # whole-tree slot in B
-        x = (S - 1) + jnp.clip(second, 0, S - 1)
-        y = (S - 1) + jnp.clip(tile_ll, 0, S - 1)
-        for _ in range(lca_steps):
-            ne = x != y
-            x, y = (jnp.where(ne, (x - 1) >> 1, x),
-                    jnp.where(ne, (y - 1) >> 1, y))
-        rootB = jnp.where(wt, 0, x).astype(jnp.int32)
+        split, rootA, rootB = _two_pass_tile_meta(
+            skey_s, troots, S, n_tiles, chunk, lca_steps, npad)
         tile_roots = jnp.stack([rootA, rootB]).reshape(
             2, n_groups, INTERLEAVE)
         tile_splits = split.reshape(n_groups, INTERLEAVE)

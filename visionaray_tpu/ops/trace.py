@@ -5,7 +5,9 @@ BVHs (traverse.h, detail/traverse_linear.inl:186-380).  Here:
 
 - ``closest_hit(ray, scene)``: full scene query.  Triangles go through the
   BVH when ``scene.bvh`` is set, else a (chunked) brute-force sweep; spheres
-  and planes are always swept linearly (they are few).
+  likewise via ``scene.sphere_bvh`` (ops/traversal.py:build_sphere_bvh, the
+  reference's generic build() over any primitive type, bvh.h:438-448);
+  planes are always swept linearly (they are few).
 - ``any_hit(ray, scene, max_t)``: shadow-ray variant with the reference's
   is_closer(…, max_t) predicate (update_if.h:75-80).
 - ``multi_hit(ray, scene, K)``: top-K nearest hits per ray (multi_hit.h).
@@ -216,7 +218,9 @@ def _cluster_closest_filtered(ray: Ray, cbvh, mesh, hit_filter,
         accept = unresolved & hr.hit & keep
         rejected = unresolved & ((hr.hit & ~keep) | same)
         # re-hit of the excluded prim at t>=0 means the nudge didn't clear
-        # the surface numerically; escalate the advance each round
+        # the surface numerically; advance by a t0-proportional epsilon
+        # instead (livelock is bounded by prim exclusion plus the
+        # _FILTER_RETRACE_CAP iteration cap, not by escalation)
         adv_t = jnp.where(same, jnp.maximum(t0 * 1e-5, 1e-6), hr.t)
         new_best = HitRecord(
             hit=jnp.where(accept, True, best.hit),
@@ -306,9 +310,15 @@ def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None,
         best = _merge(best, hr)
         offset += scene.num_triangles
     if scene.spheres is not None:
-        hr = intersect_spheres_brute(
-            ray, scene.spheres.center, scene.spheres.radius,
-            scene.spheres.geom_ids, offset)
+        if scene.sphere_bvh is not None:
+            from visionaray_tpu.ops.traversal import sphere_bvh_closest_hit
+            hr = sphere_bvh_closest_hit(ray, scene.sphere_bvh,
+                                        scene.spheres,
+                                        prim_offset=offset)
+        else:
+            hr = intersect_spheres_brute(
+                ray, scene.spheres.center, scene.spheres.radius,
+                scene.spheres.geom_ids, offset)
         best = _merge(best, hr)
         offset += scene.num_spheres
     if scene.planes is not None:
@@ -374,9 +384,14 @@ def any_hit(ray: Ray, scene, max_t, use_bvh: Optional[bool] = None,
         best = update_if(best, hr, is_closer(hr, best.t, max_t))
         offset += scene.num_triangles
     if scene.spheres is not None:
-        hr = intersect_spheres_brute(
-            ray, scene.spheres.center, scene.spheres.radius,
-            scene.spheres.geom_ids, offset)
+        if scene.sphere_bvh is not None:
+            from visionaray_tpu.ops.traversal import sphere_bvh_any_hit
+            hr = sphere_bvh_any_hit(ray, scene.sphere_bvh, scene.spheres,
+                                    max_t, prim_offset=offset)
+        else:
+            hr = intersect_spheres_brute(
+                ray, scene.spheres.center, scene.spheres.radius,
+                scene.spheres.geom_ids, offset)
         best = update_if(best, hr, is_closer(hr, best.t, max_t))
         offset += scene.num_spheres
     if scene.planes is not None:

@@ -30,14 +30,20 @@ from visionaray_tpu.ops.intersect import intersect_aabb, intersect_triangle
 STACK_DEPTH = 64
 
 
-def _traverse_one(o, d, node_lo, node_hi, left, right, tri_v1, tri_e1,
-                  tri_e2, prim_ids, max_t, any_hit_mode: bool,
+def _traverse_one(o, d, node_lo, node_hi, left, right, prim_isect,
+                  prim_ids, max_t, any_hit_mode: bool,
                   hit_filter=None, leaf_first=None, leaf_count=None,
                   max_leaf_size: int = 1):
     """Single-ray stack traversal; vmapped over the ray batch.
 
     Returns (best_t, best_ref, hit) where best_ref is the index into
     prim_ids of the winning primitive (-1 if none).
+
+    ``prim_isect(o, d, pid) -> (t, u, v, hit)`` is the leaf intersector —
+    the build()-is-generic-over-primitive-type analogue of the reference
+    (bvh.h:438-448 builds over any primitive with an aabb; intersect.inl
+    dispatches to the primitive's intersect): triangles, spheres, or any
+    custom primitive traverse the same tree.
 
     Leaves follow either BVH convention (ops/lbvh.BVH docstring): 1:1
     (``leaf_first is None``: leaf slot s = prim_ids[s]) or generalized
@@ -76,8 +82,7 @@ def _traverse_one(o, d, node_lo, node_hi, left, right, tri_v1, tri_e1,
         slot = jnp.maximum(node - leaf_base, 0)
         for ref, valid in leaf_prims(slot):
             pid = prim_ids[ref]
-            t, u, v, hit = intersect_triangle(
-                o, d, tri_v1[pid], tri_e1[pid], tri_e2[pid])
+            t, u, v, hit = prim_isect(o, d, pid)
             if hit_filter is not None:
                 hit = hit_filter(pid, t, u, v, hit)
             closer = is_leaf & valid & hit & (t >= 0.0) & (t < best_t)
@@ -123,9 +128,32 @@ def _traverse_one(o, d, node_lo, node_hi, left, right, tri_v1, tri_e1,
     return best_t, best_leaf, best_leaf >= 0
 
 
-def _traverse_batch(ray: Ray, bvh, mesh, max_t, any_hit_mode: bool,
-                    hit_filter=None):
+def _tri_isect(mesh):
+    """Per-ray triangle leaf intersector over a mesh's corner arrays."""
     v1, e1, e2 = mesh.corners()
+
+    def isect(o, d, pid):
+        return intersect_triangle(o, d, v1[pid], e1[pid], e2[pid])
+
+    return isect
+
+
+def _sphere_isect(spheres):
+    """Per-ray sphere leaf intersector (u = v = 0, as in the brute sweep)."""
+    from visionaray_tpu.ops.intersect import intersect_sphere
+    center, radius = spheres.center, spheres.radius
+
+    def isect(o, d, pid):
+        t, hit = intersect_sphere(o, d, center[pid], radius[pid])
+        z = jnp.zeros_like(t)
+        return t, z, z, hit
+
+    return isect
+
+
+def _traverse_batch_isect(ray: Ray, bvh, prim_isect, max_t,
+                          any_hit_mode: bool, hit_filter=None):
+    """Generic batched traversal over any leaf intersector."""
     if bvh.num_nodes == 1:
         # degenerate tree (one leaf): intersect its primitive(s) directly
         bs = ray.batch_shape
@@ -133,8 +161,7 @@ def _traverse_batch(ray: Ray, bvh, mesh, max_t, any_hit_mode: bool,
         best_ref = jnp.full(bs, -1, jnp.int32)
         for ref in range(bvh.num_prims):
             pid = bvh.prim_ids[ref]
-            t, u, v, hit = intersect_triangle(
-                ray.ori, ray.dir, v1[pid], e1[pid], e2[pid])
+            t, u, v, hit = prim_isect(ray.ori, ray.dir, pid)
             if hit_filter is not None:
                 hit = hit_filter(jnp.full(t.shape, pid), t, u, v, hit)
             closer = hit & (t >= 0.0) & (t < best_t)
@@ -145,7 +172,7 @@ def _traverse_batch(ray: Ray, bvh, mesh, max_t, any_hit_mode: bool,
     f = partial(_traverse_one,
                 node_lo=bvh.node_lo, node_hi=bvh.node_hi,
                 left=bvh.left, right=bvh.right,
-                tri_v1=v1, tri_e1=e1, tri_e2=e2, prim_ids=bvh.prim_ids,
+                prim_isect=prim_isect, prim_ids=bvh.prim_ids,
                 any_hit_mode=any_hit_mode, hit_filter=hit_filter,
                 leaf_first=bvh.leaf_first, leaf_count=bvh.leaf_count,
                 max_leaf_size=bvh.max_leaf_size)
@@ -157,6 +184,12 @@ def _traverse_batch(ray: Ray, bvh, mesh, max_t, any_hit_mode: bool,
         o, d, mt)
     bs = ray.batch_shape
     return best_t.reshape(bs), best_leaf.reshape(bs), hit.reshape(bs)
+
+
+def _traverse_batch(ray: Ray, bvh, mesh, max_t, any_hit_mode: bool,
+                    hit_filter=None):
+    return _traverse_batch_isect(ray, bvh, _tri_isect(mesh), max_t,
+                                 any_hit_mode, hit_filter=hit_filter)
 
 
 def bvh_closest_hit(ray: Ray, bvh, mesh, max_t=FLT_MAX,
@@ -328,5 +361,67 @@ def bvh_any_hit(ray: Ray, bvh, mesh, max_t, hit_filter=None) -> HitRecord:
         t=jnp.where(hit, best_t, FLT_MAX),
         prim_id=jnp.where(hit, pid, 0).astype(jnp.int32),
         geom_id=jnp.take(mesh.geom_ids, jnp.where(hit, pid, 0)),
+        u=jnp.zeros_like(best_t), v=jnp.zeros_like(best_t),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Sphere BVH: the reference's build() is generic over primitive type — it
+# builds (and traverses) BVHs over spheres too, including degenerate radii
+# (bvh.h:438-448, detail/bvh/build.inl:165, test/unittests/bvh/build.cpp:
+# 69-116).  build_lbvh_from_aabbs already accepts any AABBs; these wire the
+# sphere leaf intersector into the same stack traversal.
+
+
+def build_sphere_bvh(spheres):
+    """LBVH over a Spheres group (lo/hi = center -/+ radius)."""
+    from visionaray_tpu.ops.lbvh import build_lbvh_from_aabbs
+    r = spheres.radius[:, None]
+    return build_lbvh_from_aabbs(spheres.center - r, spheres.center + r)
+
+
+def sphere_bvh_closest_hit(ray: Ray, bvh, spheres, max_t=FLT_MAX,
+                           prim_offset: int = 0) -> HitRecord:
+    """Closest sphere hit through the BVH, differentiable by recompute.
+
+    ``prim_offset``: global prim-id base of the sphere group (scene ids run
+    triangles -> spheres -> planes, core/scene.py docstring).
+    """
+    from visionaray_tpu.ops.intersect import intersect_sphere
+    sg = jax.lax.stop_gradient
+    _, best_leaf, hit = _traverse_batch_isect(
+        Ray(sg(ray.ori), sg(ray.dir)),
+        jax.tree_util.tree_map(sg, bvh),
+        _sphere_isect(jax.tree_util.tree_map(sg, spheres)),
+        max_t, any_hit_mode=False)
+    pid = jnp.take(bvh.prim_ids, jnp.maximum(best_leaf, 0))
+    # differentiable recompute at the winning sphere (fixed topology)
+    t, _ = intersect_sphere(ray.ori, ray.dir,
+                            jnp.take(spheres.center, pid, axis=0),
+                            jnp.take(spheres.radius, pid))
+    return HitRecord(
+        hit=hit,
+        t=jnp.where(hit, t, FLT_MAX),
+        prim_id=jnp.where(hit, pid + prim_offset, 0).astype(jnp.int32),
+        geom_id=jnp.take(spheres.geom_ids, jnp.where(hit, pid, 0)),
+        u=jnp.zeros_like(t), v=jnp.zeros_like(t),
+    )
+
+
+def sphere_bvh_any_hit(ray: Ray, bvh, spheres, max_t,
+                       prim_offset: int = 0) -> HitRecord:
+    """Sphere occlusion query through the BVH with early exit."""
+    sg = jax.lax.stop_gradient
+    best_t, best_leaf, hit = _traverse_batch_isect(
+        Ray(sg(ray.ori), sg(ray.dir)),
+        jax.tree_util.tree_map(sg, bvh),
+        _sphere_isect(jax.tree_util.tree_map(sg, spheres)),
+        max_t, any_hit_mode=True)
+    pid = jnp.take(bvh.prim_ids, jnp.maximum(best_leaf, 0))
+    return HitRecord(
+        hit=hit,
+        t=jnp.where(hit, best_t, FLT_MAX),
+        prim_id=jnp.where(hit, pid + prim_offset, 0).astype(jnp.int32),
+        geom_id=jnp.take(spheres.geom_ids, jnp.where(hit, pid, 0)),
         u=jnp.zeros_like(best_t), v=jnp.zeros_like(best_t),
     )
