@@ -53,15 +53,17 @@ ray = Ray(ori=o, dir=d)
 
 
 def measure(name, fn):
+    # cbvh/mesh ride as jit ARGUMENTS: closed-over device arrays would be
+    # fetched host-side during lowering (slow axon D2H; see PERF.md r4)
     f = jax.jit(fn)
     t0 = time.perf_counter()
-    out = f(ray)
+    out = f(ray, cbvh, mesh)
     out.block_until_ready()
     print(f"{name}: compile+run {time.perf_counter() - t0:.1f}s "
           f"hit {float((out < 1e30).mean()):.3f}", flush=True)
     t0 = time.perf_counter()
     for _ in range(3):
-        out = f(ray)
+        out = f(ray, cbvh, mesh)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / 3
     print(f"{name}: {dt * 1e3:.1f} ms, {N / dt / 1e6:.2f} Mrays/s",
@@ -69,6 +71,6 @@ def measure(name, fn):
 
 
 if MODE in ("binned", "both"):
-    measure("binned", lambda r: binned_closest_hit(r, cbvh, mesh, m=M).t)
+    measure("binned", lambda r, b, ms: binned_closest_hit(r, b, ms, m=M).t)
 if MODE in ("global", "both"):
-    measure("global", lambda r: cluster_closest_hit(r, cbvh, mesh).t)
+    measure("global", lambda r, b, ms: cluster_closest_hit(r, b, ms).t)

@@ -62,8 +62,10 @@ def test_closest_matches_brute(setup):
     got = jax.jit(lambda r: sphere_bvh_closest_hit(r, bvh, spheres))(ray)
     np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
     m = np.asarray(ref.hit)
+    # rtol 1e-4 like the binned-traversal tests: the jitted recompute may
+    # fuse (fma/reassociate) differently from the brute sweep
     np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
-                               rtol=1e-5)
+                               rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(got.prim_id)[m],
                                   np.asarray(ref.prim_id)[m])
     np.testing.assert_array_equal(np.asarray(got.geom_id)[m],
