@@ -29,8 +29,10 @@ M = int(os.environ.get("M", 8))
 N = 1 << int(os.environ.get("N", 20))
 SAH = os.environ.get("SAH", "1") == "1"   # SAH-scored kd split axes
 MODE = os.environ.get("MODE", "binned")  # binned | global | both
-if "ROWS" in os.environ:       # tile geometry sweep
+if "ROWS" in os.environ:       # tile geometry sweep (coherent path)
     trav.TILE_ROWS = int(os.environ["ROWS"])
+if "BROWS" in os.environ:      # binned-path tile rows (BINNED_ROWS)
+    trav.BINNED_ROWS = int(os.environ["BROWS"])
 if "IL" in os.environ:
     trav.INTERLEAVE = int(os.environ["IL"])
 
@@ -64,7 +66,8 @@ def measure(name, fn):
     t0 = time.perf_counter()
     for _ in range(3):
         out = f(ray, cbvh, mesh)
-    out.block_until_ready()
+    float(out[0])   # fetch forces completion (block can return early
+                    # right after an async dispatch on the axon backend)
     dt = (time.perf_counter() - t0) / 3
     print(f"{name}: {dt * 1e3:.1f} ms, {N / dt / 1e6:.2f} Mrays/s",
           flush=True)

@@ -74,10 +74,11 @@ def pick_cluster_size(num_prims: int) -> int:
 
     Smaller clusters mean less wasted leaf work per visit (measured: K=32
     beats K=64/128 on the sponza-class scene); the floor is the SMEM
-    budget: nodes = (2*ceil(F/K) - 1) rows of 32 bytes.
+    budget: nodes = (2*ceil(F/K) - 1) rows of 28 bytes (6 f32 box cols +
+    one packed i32 child col, traverse.py:_cluster_traverse).
     """
     k = 8
-    while (2 * -(-num_prims // k) - 1) * 32 > _SMEM_NODE_BUDGET:
+    while (2 * -(-num_prims // k) - 1) * 28 > _SMEM_NODE_BUDGET:
         k += 8
     return max(k, DEFAULT_CLUSTER_SIZE) if k > DEFAULT_CLUSTER_SIZE         else DEFAULT_CLUSTER_SIZE
 

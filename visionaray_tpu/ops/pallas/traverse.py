@@ -72,11 +72,11 @@ STACK_DEPTH = 64
 _INV_CLAMP = 1e18    # keeps interval products finite (no inf*0 NaNs)
 
 
-def _traverse_kernel(rays_ref, nodes_ref, roots_ref, splits_ref, tris_hbm,
-                     out_t_ref, out_prim_ref, out_u_ref, out_v_ref, tri_smem,
-                     stack_ref, dma_sem, *, num_clusters: int,
-                     cluster_size: int, any_hit: bool, rows: int,
-                     group: int):
+def _traverse_kernel(rays_ref, boxes_ref, kids_ref, roots_ref, splits_ref,
+                     tris_hbm, out_t_ref, out_prim_ref, out_u_ref,
+                     out_v_ref, tri_smem, stack_ref, dma_sem, *,
+                     num_clusters: int, cluster_size: int, any_hit: bool,
+                     rows: int, group: int):
     C = num_clusters
     K = cluster_size
     G = group
@@ -142,8 +142,19 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, splits_ref, tris_hbm,
                                               -1.0)))
 
     def node_f(n, c):
-        """Scalar load of component c of node n (SMEM, fully dynamic)."""
-        return nodes_ref[0, n * 8 + c]
+        """Scalar load of box component c (0..5) of node n (SMEM)."""
+        return boxes_ref[0, n * 6 + c]
+
+    def node_kids(n):
+        """(left, right) of internal node n, unpacked from one i32.
+
+        One packed column instead of two f32 columns cuts the SMEM node
+        table to 28 B/node (the table is the SMEM capacity bound that
+        floors the cluster size; 16-bit halves are exact because the
+        SMEM budget already caps the node count well under 2^16).
+        """
+        kid = kids_ref[0, n]
+        return kid >> 16, kid & 0xFFFF
 
     def cur_ivs(g, p):
         """Scalar-select tile g's hull intervals for traced pass p."""
@@ -339,8 +350,7 @@ def _traverse_kernel(rays_ref, nodes_ref, roots_ref, splits_ref, tris_hbm,
                 # --- internal path: pure scalar frustum tests
                 safe = jnp.minimum(node[g],
                                    jnp.int32(max(leaf_base - 1, 0)))
-                left = node_f(safe, 6).astype(jnp.int32)
-                right = node_f(safe, 7).astype(jnp.int32)
+                left, right = node_kids(safe)
                 w1, tn1 = frustum_test(ivs, left, mt_)
                 w2, tn2 = frustum_test(ivs, right, mt_)
                 a1 = w1 & (~is_leaf[g])
@@ -456,9 +466,16 @@ def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
     kernel = functools.partial(
         _traverse_kernel, num_clusters=num_clusters,
         cluster_size=cluster_size, any_hit=any_hit, rows=rows, group=group)
-    # node table flattened to one SMEM row (SMEM rows pad to 128 lanes, so
-    # (N, 8) would waste 16x; (1, N*8) is dense)
-    nodes_flat = nodes.reshape(1, -1)
+    # Node table flattened to SMEM rows (SMEM rows pad to 128 lanes, so
+    # (N, k) would waste; (1, N*k) is dense).  Boxes (6 f32) and packed
+    # children (1 i32: left<<16 | right) ride separately — 28 B/node
+    # instead of 32, which is what floors the SMEM-bound cluster size.
+    # 16-bit halves are exact: the same SMEM capacity caps 2C-1 << 2^16.
+    assert 2 * num_clusters - 1 < (1 << 16), \
+        "packed child indices need 2C-1 < 65536 (SMEM already forces this)"
+    boxes_flat = nodes[:, :6].reshape(1, -1)
+    kids_flat = ((nodes[:, 6].astype(jnp.int32) << 16)
+                 | nodes[:, 7].astype(jnp.int32)).reshape(1, -1)
     out_t, out_prim, out_u, out_v = pl.pallas_call(
         kernel,
         grid=(n_groups,),
@@ -466,7 +483,8 @@ def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
             pl.BlockSpec((8, 1, group, rows, 128),
                          lambda i: (0, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # node table (scalars)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # box table (scalars)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # packed children
             pl.BlockSpec(memory_space=pltpu.SMEM),   # per-tile start nodes
             pl.BlockSpec(memory_space=pltpu.SMEM),   # per-tile pass splits
             pl.BlockSpec(memory_space=pl.ANY),       # tris stay in HBM
@@ -486,7 +504,7 @@ def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
             pltpu.SemaphoreType.DMA((group,)),
         ],
         interpret=interpret,
-    )(rays8, nodes_flat, tile_roots, tile_splits, tris)
+    )(rays8, boxes_flat, kids_flat, tile_roots, tile_splits, tris)
     return out_t, out_prim, out_u, out_v
 
 
