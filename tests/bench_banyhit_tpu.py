@@ -22,12 +22,13 @@ to = L - o
 dist = jnp.linalg.norm(to, axis=-1)
 d = to / dist[:, None]
 ray = Ray(ori=o, dir=d)
-f = jax.jit(lambda r, mt: binned_any_hit(r, cbvh, mesh, mt, m=M).hit)
+# cbvh/mesh as jit ARGS (closure constants fetch host-side at lowering)
+f = jax.jit(lambda r, mt, b, ms: binned_any_hit(r, b, ms, mt, m=M).hit)
 t0 = time.perf_counter()
-hit = f(ray, dist - 1e-3); hit.block_until_ready()
+hit = f(ray, dist - 1e-3, cbvh, mesh); float(hit.mean())
 print(f"M={M} compile+run {time.perf_counter()-t0:.1f}s, occl frac {float(hit.mean()):.3f}")
 t0 = time.perf_counter()
-for _ in range(5): hit = f(ray, dist - 1e-3)
-hit.block_until_ready()
+for _ in range(5): hit = f(ray, dist - 1e-3, cbvh, mesh)
+float(hit[0])   # fetch forces completion (block can return early)
 dt = (time.perf_counter()-t0)/5
 print(f"binned any_hit M={M}: {dt*1e3:.1f} ms, {n/dt/1e6:.2f} Mrays/s")
