@@ -707,7 +707,12 @@ def cluster_closest_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t=FLT_MAX,
 # Tiles then hold rays that (a) start on one treelet's boundary and (b)
 # visit only its <=T clusters — tight hulls, bounded leaf work.
 
-BIN_M = 8            # treelet slots per ray (last doubles as overflow slot)
+BIN_M = 6            # treelet slots per ray (last doubles as overflow
+                     # slot).  Swept under the two-pass contiguous layout
+                     # (round 4, fetch-forced): closest 5/6/7/8 ->
+                     # 2.21/2.41/2.38/2.27 Mrays/s; any-hit 4/6/8 ->
+                     # 3.65/4.65/4.47.  M=6 peaks both (the old padded
+                     # layout preferred 8).
 BINNED_ROWS = 16     # sublane rows per binned-path tile: 2048-ray tiles
                      # measured 2.47 vs 2.40 Mrays/s at 32 rows (tighter
                      # per-tile hulls + half the segment padding); the
