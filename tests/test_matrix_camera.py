@@ -14,11 +14,25 @@ from visionaray_tpu.sched.render import render
 from visionaray_tpu.scenes import tri_sphere_plane
 
 
-def _cams():
+def _cams(z_near=0.1, z_far=100.0):
     cam = Pinhole.create(eye=(1.5, 2.0, 6.0), center=(0.2, -0.1, 0.0),
                          fovy=np.deg2rad(50), aspect=4.0 / 3.0,
-                         z_near=0.1, z_far=100.0)
+                         z_near=z_near, z_far=z_far)
     return cam, MatrixCamera.from_pinhole(cam)
+
+
+def test_extreme_near_far_ratio():
+    """The viewer-default z range (0.001/1000, ratio 1e6) must not NaN:
+    the far clip point's homogeneous w underflows in f32, so the
+    direction uses the homogeneous difference, never dividing by it."""
+    cam, mcam = _cams(z_near=0.001, z_far=1000.0)
+    W, H = 16, 16
+    yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    r_p = cam.primary_rays(xx, yy, W, H)
+    r_m = mcam.primary_rays(xx, yy, W, H)
+    assert np.isfinite(np.asarray(r_m.dir)).all()
+    np.testing.assert_allclose(np.asarray(r_m.dir), np.asarray(r_p.dir),
+                               atol=2e-3)
 
 
 def test_primary_rays_match():

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 from visionaray_tpu.core.types import Ray, pytree_dataclass, replace
@@ -135,6 +136,15 @@ class MatrixCamera:
         return MatrixCamera(view=cam.view_matrix(), proj=cam.proj_matrix())
 
     def primary_rays(self, x, y, width, height, jitter=None) -> Ray:
+        # f32 matmul precision is mandatory here: TPU dot defaults to
+        # bf16 inputs, and both the 4x4 LU inverse and the clip->world
+        # products are catastrophically ill-conditioned at bf16 for GL
+        # projections (measured: every ray of the viewer-default camera
+        # landed on the ground plane)
+        with jax.default_matmul_precision("float32"):
+            return self._primary_rays_f32(x, y, width, height, jitter)
+
+    def _primary_rays_f32(self, x, y, width, height, jitter) -> Ray:
         inv_view = jnp.linalg.inv(self.view)
         inv_proj = jnp.linalg.inv(self.proj)
         x = jnp.asarray(x, jnp.float32)
@@ -151,8 +161,16 @@ class MatrixCamera:
         o_h = o_clip @ m.T
         d_h = d_clip @ m.T
         ori = o_h[..., :3] / o_h[..., 3:4]
-        far = d_h[..., :3] / d_h[..., 3:4]
-        return Ray(ori=ori, dir=normalize(far - ori))
+        # Homogeneous difference for the direction: far/far_w - ori would
+        # divide by the far point's w, which underflows in f32 for large
+        # z_far/z_near ratios (the viewer default 0.001/1000 NaN'd every
+        # ray); d*o_w - o*d_w is the same direction up to the positive
+        # scale o_w*d_w, with no small-w division.
+        dir_h = (d_h[..., :3] * o_h[..., 3:4]
+                 - o_h[..., :3] * d_h[..., 3:4])
+        sgn = jnp.sign(o_h[..., 3:4] * d_h[..., 3:4])
+        sgn = jnp.where(sgn == 0, 1.0, sgn)
+        return Ray(ori=ori, dir=normalize(dir_h * sgn))
 
 
 def project(p, view, proj, viewport):
@@ -160,9 +178,10 @@ def project(p, view, proj, viewport):
 
     viewport = (x, y, w, h). Returns window coords (...,3) with z in [0,1].
     """
-    m = proj @ view
-    ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
-    clip = ph @ m.T
+    with jax.default_matmul_precision("float32"):  # bf16 TPU dot is not
+        m = proj @ view                            # enough here, see
+        ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
+        clip = ph @ m.T                            # MatrixCamera note
     ndc = clip[..., :3] / clip[..., 3:4]
     x, y, w, h = viewport
     win = jnp.stack([
@@ -181,7 +200,8 @@ def unproject(win, view, proj, viewport):
         (win[..., 1] - y) / h * 2.0 - 1.0,
         win[..., 2] * 2.0 - 1.0,
     ], axis=-1)
-    inv = jnp.linalg.inv(proj @ view)
-    ph = jnp.concatenate([ndc, jnp.ones_like(ndc[..., :1])], axis=-1)
-    obj = ph @ inv.T
+    with jax.default_matmul_precision("float32"):
+        inv = jnp.linalg.inv(proj @ view)
+        ph = jnp.concatenate([ndc, jnp.ones_like(ndc[..., :1])], axis=-1)
+        obj = ph @ inv.T
     return obj[..., :3] / obj[..., 3:4]
