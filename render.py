@@ -190,7 +190,7 @@ def main(argv=None):
         if tgt is None:
             p.error("--dump-bvh: the scene has no BVH "
                     "(drop --no-bvh or pick --bvh)")
-        stats = dump_bvh(tgt, args.dump_bvh, width=args.width or 1024)
+        stats = dump_bvh(tgt, args.dump_bvh, width=args.width)
         print(_json.dumps({"bvh_dump": args.dump_bvh, **stats}))
         return 0
 

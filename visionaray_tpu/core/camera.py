@@ -168,7 +168,10 @@ class MatrixCamera:
         # scale o_w*d_w, with no small-w division.
         dir_h = (d_h[..., :3] * o_h[..., 3:4]
                  - o_h[..., :3] * d_h[..., 3:4])
-        sgn = jnp.sign(o_h[..., 3:4] * d_h[..., 3:4])
+        # Sign of each factor separately: the product o_w*d_w can underflow
+        # to 0 in f32 exactly in the tiny-w regime this path exists for,
+        # and the ==0 fallback would then silently assume positive.
+        sgn = jnp.sign(o_h[..., 3:4]) * jnp.sign(d_h[..., 3:4])
         sgn = jnp.where(sgn == 0, 1.0, sgn)
         return Ray(ori=ori, dir=normalize(dir_h * sgn))
 

@@ -154,7 +154,10 @@ def _traverse_kernel(rays_ref, boxes_ref, kids_ref, roots_ref, splits_ref,
         SMEM budget already caps the node count well under 2^16).
         """
         kid = kids_ref[0, n]
-        return kid >> 16, kid & 0xFFFF
+        # Logical shift semantics: i32 >> is arithmetic, so left >= 32768
+        # (left<<16 setting the sign bit) would sign-extend to a negative
+        # node index.  Mask after shifting to recover the unsigned half.
+        return (kid >> 16) & 0xFFFF, kid & 0xFFFF
 
     def cur_ivs(g, p):
         """Scalar-select tile g's hull intervals for traced pass p."""
