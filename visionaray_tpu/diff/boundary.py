@@ -1,0 +1,279 @@
+"""Silhouette/boundary gradients for primary visibility (edge sampling).
+
+Plain autodiff differentiates the render at FIXED hit topology: which
+primitive covers which pixel is decided under ``stop_gradient``, so moving a
+vertex's silhouette across pixels produces exactly zero gradient.  This
+module adds the missing boundary term of
+
+    d/dθ ∫_pixel f(x; θ) dx
+      = ∫_pixel ∂θ f dx  +  ∫_{edges ∩ pixel} (f⁻ − f⁺)(x) (n̂·∂x/∂θ) ds
+
+via screen-space edge sampling (the estimator family of Li et al. 2018
+"Differentiable Monte Carlo Ray Tracing through Edge Sampling"; the
+reference framework has no autodiff at all, so this is capability beyond
+`/root/reference` — BASELINE.json north_star "soft visibility").
+
+TPU-first design decisions:
+
+- **Static shapes end to end.**  Silhouette detection is a mask, not a
+  compaction: every mesh edge is sampled every call and non-silhouette
+  edges contribute exactly 0 through their mask weight.  For large meshes
+  an optional fixed ``edge_budget`` importance-samples that many edges
+  (with replacement, properly reweighted) so the cost is independent of
+  mesh size — both paths are jit-compatible with no dynamic shapes.
+- **Occlusion needs no visibility test.**  The two-sided radiance
+  difference Δf = f(p−δn̂) − f(p+δn̂) is computed by tracing full rays on
+  both sides of the edge point: where the edge is occluded by nearer
+  geometry both rays hit the same surface and Δf vanishes — the mask that
+  edge-sampling CPU renderers get from silhouette data structures falls
+  out of two batched kernel evaluations (one extra MXU-friendly ray batch,
+  no pointer chasing).
+- **Gradients ride a zero-valued image.**  ``boundary_image`` returns a
+  (H, W, 4) array whose VALUE is identically zero but whose vjp carries
+  the boundary term, scatter-added into the pixel each edge sample falls
+  in.  Adding it to the rendered image makes ANY downstream loss pick up
+  silhouette gradients by the chain rule — no special loss plumbing.
+
+The estimator, per edge sample p(s;θ) with screen-space edge normal n̂:
+
+    contrib = (len_e / M) · sil_e · Δf_detached · (n̂_detached · p(s; θ))
+
+Only p(s;θ) (endpoint projection of the differentiable vertices) carries
+gradient; Δf, n̂, lengths and masks are detached.  Flipping n̂ swaps f⁺/f⁻
+and negates n̂·v, so orientation cancels.
+
+Scope: PRIMARY visibility (camera silhouettes) w.r.t. vertex and camera
+parameters, Pinhole cameras.  Secondary boundaries (shadow/indirect
+silhouettes) remain future work — see docs/diff.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visionaray_tpu.core.camera import project
+from visionaray_tpu.core.types import pytree_dataclass
+from visionaray_tpu.ops.sampling import Sampler, pcg_hash
+
+
+@pytree_dataclass
+class EdgeAdjacency:
+    """Unique undirected mesh edges with their adjacent faces.
+
+    ``edges``  (E, 2) i32 vertex ids (lo, hi)
+    ``faces``  (E, 2) i32 adjacent face ids; faces[e, 1] == -1 for a mesh
+               boundary edge (exactly one adjacent face).
+    """
+
+    edges: Any
+    faces: Any
+
+
+def build_edge_adjacency(faces, vertices=None,
+                         weld_decimals: int = 5) -> EdgeAdjacency:
+    """Host-side adjacency build (once per topology; numpy).
+
+    Pass ``vertices`` to weld coincident positions before pairing edges —
+    essential for soup-style meshes where every quad/face carries its own
+    copies of shared corners (the Cornell boxes): without welding each
+    geometric edge appears twice as two "open" edges and its boundary term
+    double-counts.  Edge endpoint IDS keep referencing original vertices
+    (any coincident copy projects identically), only the PAIRING uses the
+    welded ids.
+    """
+    faces = np.asarray(faces)
+    if vertices is not None:
+        v = np.round(np.asarray(vertices, np.float64), weld_decimals)
+        _, canon = np.unique(v, axis=0, return_inverse=True)
+    else:
+        canon = None
+    eid = {}
+    adj = []
+    edges = []
+    for f in range(faces.shape[0]):
+        a, b, c = (int(x) for x in faces[f])
+        for u, v in ((a, b), (b, c), (c, a)):
+            cu = int(canon[u]) if canon is not None else u
+            cv = int(canon[v]) if canon is not None else v
+            key = (cu, cv) if cu < cv else (cv, cu)
+            if key not in eid:
+                eid[key] = len(edges)
+                edges.append((u, v) if cu < cv else (v, u))
+                adj.append([f, -1])
+            else:
+                adj[eid[key]][1] = f
+    return EdgeAdjacency(
+        edges=jnp.asarray(np.asarray(edges, np.int32)),
+        faces=jnp.asarray(np.asarray(adj, np.int32)))
+
+
+def silhouette_mask(vertices, faces, adjacency: EdgeAdjacency, eye,
+                    geom_ids=None, crease_cos: float = 1.0 - 1e-4):
+    """(E,) bool: edge can carry a radiance discontinuity from ``eye``.
+
+    True for mesh-boundary edges, for edges whose two adjacent faces face
+    the eye differently (the classic silhouette criterion), for crease
+    edges (dihedral angle: face normals agree below ``crease_cos``), and
+    for material-boundary edges (``geom_ids`` differ) — creases and
+    material seams jump in shading even when both faces face the eye, so
+    their motion carries a boundary term too (the reason redner samples
+    all non-coplanar edges, not just silhouettes).  Face normals are
+    recomputed from the CURRENT vertices (training loops swap vertices
+    without refreshing cached normals).
+    """
+    v1 = vertices[faces[:, 0]]
+    v2 = vertices[faces[:, 1]]
+    v3 = vertices[faces[:, 2]]
+    n = jnp.cross(v2 - v1, v3 - v1)
+    nn = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    facing = jnp.sum(n * (eye - v1), axis=-1) > 0.0
+    f0 = adjacency.faces[:, 0]
+    f1 = adjacency.faces[:, 1]
+    f1c = jnp.maximum(f1, 0)
+    open_edge = f1 < 0
+    sil = facing[f0] != facing[f1c]
+    crease = jnp.sum(nn[f0] * nn[f1c], axis=-1) < crease_cos
+    mask = open_edge | sil | crease
+    if geom_ids is not None:
+        mask = mask | (geom_ids[f0] != geom_ids[f1c])
+    return mask
+
+
+def _detach(tree):
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, tree)
+
+
+def _radiance_at(params, cam, sx, sy, width, height, algo, nee, seed,
+                 frame_num):
+    """Trace full rays through continuous window coords (sx, sy) ∈
+    [0,W]x[0,H] and return kernel radiance (N, 4).  Everything here is
+    detached — Δf is a coefficient of the boundary term, not a gradient
+    path."""
+    from visionaray_tpu.sched.render import KERNELS
+    kernel = KERNELS[algo]
+    params = _detach(params)
+    cam = _detach(cam)
+    # primary_rays applies the +0.5 pixel-center shift; window coords
+    # already live on the [0, W] continuum, so unshift.
+    ray = cam.primary_rays(jax.lax.stop_gradient(sx) - 0.5,
+                           jax.lax.stop_gradient(sy) - 0.5,
+                           width, height)
+    pid = pcg_hash(jnp.arange(sx.shape[0], dtype=jnp.uint32)
+                   ^ jnp.uint32(seed))
+    samp = Sampler.seed(0, pid, jnp.asarray(frame_num, jnp.uint32))
+    if algo == "pathtracing":
+        rec = kernel(params, ray, samp, nee=nee)
+    else:
+        rec = kernel(params, ray, samp)
+    return rec.color
+
+
+def boundary_image(params, cam, width: int, height: int,
+                   adjacency: EdgeAdjacency, *, algo: str = "simple",
+                   nee: bool = False, samples_per_edge: int = 4,
+                   delta: float = 0.03, edge_budget: Optional[int] = None,
+                   seed: int = 0, frame_num: int = 1,
+                   vertices=None):
+    """Zero-valued (H, W, 4) image whose gradient is the primary-visibility
+    boundary term.  Add it to the rendered image before the loss.
+
+    ``vertices``: the differentiable vertex array; defaults to
+    ``params.scene.mesh.vertices`` (pass explicitly when your loss closes
+    over a separate θ leaf).  ``delta`` is the two-sided probe offset in
+    PIXELS.  ``edge_budget``: if set and < E, importance-samples that many
+    edges per call (∝ silhouette · screen length, with replacement,
+    reweighted) so cost is independent of mesh size.
+    """
+    mesh = params.scene.mesh
+    if vertices is None:
+        vertices = mesh.vertices
+    view = cam.view_matrix()
+    proj = cam.proj_matrix()
+
+    # --- differentiable endpoint projection -----------------------------
+    win = project(vertices, view, proj, (0.0, 0.0, width, height))[..., :2]
+    pa = win[adjacency.edges[:, 0]]          # (E, 2), carries d/dθ
+    pb = win[adjacency.edges[:, 1]]
+
+    # --- detached geometry of the estimator -----------------------------
+    pa_d = jax.lax.stop_gradient(pa)
+    pb_d = jax.lax.stop_gradient(pb)
+    seg = pb_d - pa_d
+    seg_len = jnp.linalg.norm(seg, axis=-1)
+    tangent = seg / jnp.maximum(seg_len[..., None], 1e-12)
+    normal = jnp.stack([-tangent[..., 1], tangent[..., 0]], axis=-1)
+
+    sil = silhouette_mask(jax.lax.stop_gradient(vertices), mesh.faces,
+                          adjacency, jax.lax.stop_gradient(cam.eye),
+                          geom_ids=mesh.geom_ids)
+
+    # near-plane cull: an edge with an endpoint behind the eye projects
+    # nonsensically; drop it (clipping the visible sub-segment is future
+    # refinement — such edges also need frustum-boundary terms).
+    vh = jnp.concatenate([vertices, jnp.ones_like(vertices[..., :1])],
+                         axis=-1)
+    z_view = (jax.lax.stop_gradient(vh) @ view.T)[..., 2]
+    in_front = z_view < -jnp.asarray(cam.z_near, jnp.float32)
+    valid = (sil & in_front[adjacency.edges[:, 0]]
+             & in_front[adjacency.edges[:, 1]] & (seg_len > 1e-6))
+
+    weight = jnp.where(valid, seg_len, 0.0)   # per-edge total measure
+
+    # --- optional fixed-size edge budget --------------------------------
+    if edge_budget is not None and edge_budget < weight.shape[0]:
+        key = jax.random.PRNGKey(seed ^ 0x9E3779B9)
+        total = jnp.sum(weight)
+        p = weight / jnp.maximum(total, 1e-12)
+        idx = jax.random.categorical(
+            key, jnp.log(jnp.maximum(p, 1e-30)), shape=(edge_budget,))
+        # importance weight: sum_e w_e g_e = E_idx~p [ w_idx g_idx / p_idx ]
+        ew = jnp.where(total > 0,
+                       total / jnp.float32(edge_budget), 0.0)
+        pa, pb = pa[idx], pb[idx]
+        tangent, normal = tangent[idx], normal[idx]
+        edge_w = jnp.broadcast_to(ew, (edge_budget,))
+        edge_w = edge_w * (weight[idx] > 0)   # degenerate-pick guard
+    else:
+        edge_w = weight
+
+    E = pa.shape[0]
+    M = samples_per_edge
+    s = (jnp.arange(M, dtype=jnp.float32) + 0.5) / M      # stratified
+    # p(s; θ): (E, M, 2), differentiable through pa/pb
+    pt = pa[:, None, :] * (1.0 - s[None, :, None]) + pb[:, None, :] * \
+        s[None, :, None]
+    pt_d = jax.lax.stop_gradient(pt)
+
+    probe = delta * normal[:, None, :]
+    flat = lambda a: a.reshape(E * M, 2)
+    f_minus = _radiance_at(params, cam,
+                           flat(pt_d - probe)[:, 0],
+                           flat(pt_d - probe)[:, 1],
+                           width, height, algo, nee, seed, frame_num)
+    f_plus = _radiance_at(params, cam,
+                          flat(pt_d + probe)[:, 0],
+                          flat(pt_d + probe)[:, 1],
+                          width, height, algo, nee, seed, frame_num)
+    dF = (f_minus - f_plus).reshape(E, M, 4)              # detached
+
+    # normal velocity of the edge point, the ONLY gradient path
+    vel_n = jnp.sum(normal[:, None, :] * pt, axis=-1)     # (E, M)
+    contrib = (edge_w / M)[:, None, None] * dF * vel_n[..., None]
+
+    # scatter into the pixel each sample falls in (box filter, unit pixel)
+    ix = jnp.clip(jnp.floor(pt_d[..., 0]).astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(jnp.floor(pt_d[..., 1]).astype(jnp.int32), 0, height - 1)
+    inside = ((pt_d[..., 0] >= 0) & (pt_d[..., 0] < width)
+              & (pt_d[..., 1] >= 0) & (pt_d[..., 1] < height))
+    contrib = jnp.where(inside[..., None], contrib, 0.0)
+
+    img = jnp.zeros((height, width, 4), jnp.float32)
+    img = img.at[iy.reshape(-1), ix.reshape(-1)].add(
+        contrib.reshape(-1, 4))
+    # forward value exactly 0; vjp carries the boundary term
+    return img - jax.lax.stop_gradient(img)

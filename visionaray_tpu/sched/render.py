@@ -194,7 +194,8 @@ def render(scene, cam, width: int, height: int, algo: str = "simple",
            ambient: Optional[tuple] = None, pixel_sampler: Optional[str] = None,
            frame_num: int = 1, seed: int = 0, tile_size: int = 0,
            rt: Optional[RenderTarget] = None, nee: bool = False,
-           spectral: int = 0, hit_filter=None):
+           spectral: int = 0, hit_filter=None, boundary=None,
+           boundary_opts: Optional[dict] = None):
     """Render one frame; the call_kernel analogue (src/common/call_kernel.h).
 
     Defaults mirror the viewer (viewer.cpp:489-496): bounces 4 (10 for PT),
@@ -240,6 +241,22 @@ def render(scene, cam, width: int, height: int, algo: str = "simple",
     color, depth = _render_frame(
         params, cam, width, height, algo, spp, pixel_sampler, tile_size,
         jnp.uint32(frame_num), seed, nee=nee)
+
+    if boundary is not None and boundary is not False:
+        # silhouette/boundary gradient term (diff/boundary.py): adds a
+        # zero-VALUED image whose vjp carries the primary-visibility
+        # boundary term, so jax.grad of any loss over this frame sees
+        # moving silhouettes.  Pass boundary=True (adjacency built here;
+        # requires concrete faces, i.e. an un-jitted call) or a prebuilt
+        # EdgeAdjacency for use under jit/grad tracing.
+        from visionaray_tpu.diff.boundary import (
+            EdgeAdjacency, boundary_image, build_edge_adjacency,
+        )
+        adj = boundary if isinstance(boundary, EdgeAdjacency) \
+            else build_edge_adjacency(np.asarray(scene.mesh.faces))
+        color = color + boundary_image(
+            params, cam, width, height, adj, algo=algo, nee=nee,
+            frame_num=frame_num, seed=seed, **(boundary_opts or {}))
 
     if rt is None:
         return RenderTarget(color=color, depth=depth, width=width, height=height)
