@@ -84,7 +84,7 @@ def pick_cluster_size(num_prims: int) -> int:
 
 
 @pytree_dataclass(static=("num_clusters", "cluster_size", "treelet_size",
-                          "num_treelets"))
+                          "num_treelets", "heap"))
 class ClusterBVH:
     nodes: Any          # (2C-1, 8) f32 node table (one node per row)
     tris: Any           # (C, K//8, 128) f32: 8 x 16-float tri records per row
@@ -95,6 +95,8 @@ class ClusterBVH:
     treelet_lo: Any = None       # (S, 3) treelet AABBs (binning pass 1)
     treelet_hi: Any = None       # (S, 3)
     treelet_roots: Any = None    # (S,) i32 node-table rows of treelet roots
+    heap: bool = False           # complete-heap layout (kd build): children
+                                 # of i at 2i+1/2i+2; enables BVH4 descent
 
     @property
     def num_prims(self):
@@ -368,5 +370,5 @@ def _build_kd_tree(v1, e1, e2, K: int, T: int,
         treelet_size=int(T), num_treelets=int(S),
         treelet_lo=node_lo[S - 1: 2 * S - 1],
         treelet_hi=node_hi[S - 1: 2 * S - 1],
-        treelet_roots=troot_rows,
+        treelet_roots=troot_rows, heap=True,
     )

@@ -72,11 +72,22 @@ STACK_DEPTH = 64
 _INV_CLAMP = 1e18    # keeps interval products finite (no inf*0 NaNs)
 
 
+# Sorting networks (ascending) for the multi-way descend frontier.
+_SORT_NET = {
+    2: [(0, 1)],
+    4: [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)],
+    8: [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
+        (1, 2), (3, 4), (5, 6)],
+}
+
+
 def _traverse_kernel(rays_ref, boxes_ref, kids_ref, roots_ref, splits_ref,
                      tris_hbm, out_t_ref, out_prim_ref, out_u_ref,
                      out_v_ref, tri_smem, stack_ref, dma_sem, *,
                      num_clusters: int, cluster_size: int, any_hit: bool,
-                     rows: int, group: int):
+                     rows: int, group: int, fanout: int = 2,
+                     heap: bool = False):
     C = num_clusters
     K = cluster_size
     G = group
@@ -146,13 +157,16 @@ def _traverse_kernel(rays_ref, boxes_ref, kids_ref, roots_ref, splits_ref,
         return boxes_ref[0, n * 6 + c]
 
     def node_kids(n):
-        """(left, right) of internal node n, unpacked from one i32.
+        """(left, right) of internal node n.
 
-        One packed column instead of two f32 columns cuts the SMEM node
-        table to 28 B/node (the table is the SMEM capacity bound that
-        floors the cluster size; 16-bit halves are exact because the
-        SMEM budget already caps the node count well under 2^16).
+        Heap-built trees (the kd/treelet composite) need no table at all:
+        children of i sit at 2i+1 / 2i+2 — two scalar adds instead of an
+        SMEM load.  Radix trees unpack one packed i32 column (28 B/node;
+        16-bit halves are exact because the SMEM budget already caps the
+        node count well under 2^16).
         """
+        if heap:
+            return 2 * n + 1, 2 * n + 2
         kid = kids_ref[0, n]
         # Logical shift semantics: i32 >> is arithmetic, so left >= 32768
         # (left<<16 setting the sign bit) would sign-extend to a negative
@@ -350,29 +364,55 @@ def _traverse_kernel(rays_ref, boxes_ref, kids_ref, roots_ref, splits_ref,
                     (best_t[g], best_prim[g], best_u[g], best_v[g],
                      maxt[g]))
 
-                # --- internal path: pure scalar frustum tests
+                # --- internal path: pure scalar frustum tests over the
+                # BVH<fanout> frontier.  fanout = 4 collapses two heap
+                # levels per iteration (the grandchildren of the current
+                # node, with already-leaf children kept as-is): the box
+                # tests per level stay the same but the per-iteration
+                # fixed costs — leaf-detect cond, stack/pass logic, the
+                # G-tile lockstep — are paid half as often.
                 safe = jnp.minimum(node[g],
                                    jnp.int32(max(leaf_base - 1, 0)))
-                left, right = node_kids(safe)
-                w1, tn1 = frustum_test(ivs, left, mt_)
-                w2, tn2 = frustum_test(ivs, right, mt_)
-                a1 = w1 & (~is_leaf[g])
-                a2 = w2 & (~is_leaf[g])
-                near_is_l = tn1 <= tn2
-                near = jnp.where(near_is_l, left, right)
-                far = jnp.where(near_is_l, right, left)
+                l0, r0 = node_kids(safe)
+                cands = [l0, r0]
+                for _ in range(fanout.bit_length() - 2):
+                    nxt = []
+                    for c in cands:
+                        at_leaf = (c >= leaf_base) | (c < 0)
+                        cc = jnp.clip(c, 0, max(leaf_base - 1, 0))
+                        k0, k1 = node_kids(cc)
+                        nxt.append(jnp.where(at_leaf, c, k0))
+                        nxt.append(jnp.where(at_leaf, jnp.int32(-1), k1))
+                    cands = nxt
+                keys = []
+                idxs = list(cands)
+                for c in cands:
+                    wc, tnc = frustum_test(ivs, jnp.maximum(c, 0), mt_)
+                    wc = wc & (c >= 0) & (~is_leaf[g])
+                    # wanted implies tnc < maxt < inf, so +inf marks "not
+                    # wanted" unambiguously and sorts to the tail
+                    keys.append(jnp.where(wc, tnc, jnp.float32(jnp.inf)))
+                for (i, j) in _SORT_NET[fanout]:
+                    swp = keys[i] > keys[j]
+                    keys[i], keys[j] = (jnp.where(swp, keys[j], keys[i]),
+                                        jnp.where(swp, keys[i], keys[j]))
+                    idxs[i], idxs[j] = (jnp.where(swp, idxs[j], idxs[i]),
+                                        jnp.where(swp, idxs[i], idxs[j]))
+                cnt = keys[0] < jnp.inf
+                cnt = cnt.astype(jnp.int32)
+                for k in keys[1:]:
+                    cnt = cnt + (k < jnp.inf).astype(jnp.int32)
+                npush = jnp.maximum(cnt - 1, 0)
+                # push far-to-near: s_j lands at sp + npush - j so the
+                # nearest pushed child (s1) is on top and pops first
+                for j in range(1, fanout):
+                    @pl.when(cnt >= j + 1)
+                    def _(g=g, sp_g=sp[g], npush=npush, j=j, idx=idxs[j]):
+                        stack_ref[g, jnp.clip(sp_g + npush - j, 0,
+                                              STACK_DEPTH - 1)] = idx
 
-                both = a1 & a2
-
-                @pl.when(both)
-                def _(g=g, sp_g=sp[g], far=far):
-                    stack_ref[g, jnp.minimum(sp_g, STACK_DEPTH - 1)] = far
-
-                sp2 = jnp.where(both, jnp.minimum(sp[g] + 1, STACK_DEPTH),
-                                sp[g])
-                next_node = jnp.where(
-                    both, near,
-                    jnp.where(a1, left, jnp.where(a2, right, -1)))
+                sp2 = jnp.minimum(sp[g] + npush, STACK_DEPTH)
+                next_node = jnp.where(cnt > 0, idxs[0], jnp.int32(-1))
 
                 need_pop = is_leaf[g] | (next_node < 0)
                 early = jnp.bool_(False)
@@ -443,11 +483,13 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.jit, static_argnames=("num_clusters", "cluster_size",
-                                             "any_hit", "interpret"))
+                                             "any_hit", "interpret",
+                                             "fanout", "heap"))
 def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
                       cluster_size: int, any_hit: bool = False,
                       interpret: bool = False, tile_roots=None,
-                      tile_splits=None):
+                      tile_splits=None, fanout: int = 2,
+                      heap: bool = False):
     """rays8: (8, n_groups, G, R, 128) rows [ox oy oz dx dy dz maxt pad].
 
     ``tile_roots``: optional (2, n_groups, G) i32 start nodes per tile
@@ -466,9 +508,16 @@ def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
         tile_splits = jnp.full((n_groups, group), rows * 128, jnp.int32)
     tile_roots = tile_roots.reshape(2, n_groups * group)
     tile_splits = tile_splits.reshape(1, n_groups * group)
+    assert fanout in _SORT_NET, f"fanout must be one of {set(_SORT_NET)}"
+    # fanout > 2 pushes up to fanout-1 nodes per descend; the 64-entry
+    # stack bound is only proven for binary radix trees, so wide descent
+    # requires the complete-heap build (depth <= log2(C) <= 15 under the
+    # packed-kids cap, worst-case stack 3*8 = 24 at fanout 4)
+    assert fanout == 2 or heap, "fanout > 2 requires a heap-built tree"
     kernel = functools.partial(
         _traverse_kernel, num_clusters=num_clusters,
-        cluster_size=cluster_size, any_hit=any_hit, rows=rows, group=group)
+        cluster_size=cluster_size, any_hit=any_hit, rows=rows, group=group,
+        fanout=fanout, heap=heap)
     # Node table flattened to SMEM rows (SMEM rows pad to 128 lanes, so
     # (N, k) would waste; (1, N*k) is dense).  Boxes (6 f32) and packed
     # children (1 i32: left<<16 | right) ride separately — 28 B/node
@@ -592,6 +641,25 @@ def _coherence_perm(o, d, root_lo, root_hi):
 
 
 TWO_PASS_CAP_FRAC = 0.08   # pass-1 ray length cap, fraction of scene diag
+_FANOUT_ENV = os.environ.get("VSNRAY_FANOUT", "")
+
+
+def _fanout_for(cbvh):
+    """(fanout, heap) statics for a ClusterBVH.
+
+    Heap-built trees use arithmetic children (2i+1/2i+2, no kids-table
+    load) and can descend 4/8-wide (VSNRAY_FANOUT).  The BVH4 collapse
+    MEASURED NEGATIVE at the step config (round 5, fetch-forced, sponza
+    260k / K=32 T=128 M=6 BROWS=16): binned closest 2.40 -> 2.17 Mrays/s,
+    binned any-hit 4.62 -> 4.20, global incoherent 0.51 -> 0.48 — treelet
+    -entry traversal is leaf-iteration dominated, so halving internal
+    iterations buys less than the wider iteration costs (4 box tests +
+    5-comparator sort + up to 3 predicated pushes).  Default stays
+    binary; the machinery remains for deeper-tree workloads.
+    """
+    if getattr(cbvh, "heap", False):
+        return (int(_FANOUT_ENV) if _FANOUT_ENV else 2), True
+    return 2, False
 
 
 def _traverse_sorted(o, d, mt, n, cbvh, interpret):
@@ -602,9 +670,11 @@ def _traverse_sorted(o, d, mt, n, cbvh, interpret):
     n_groups = npad // chunk
     rays8 = _pack_rays(o, d, mt, n, npad, n_groups, INTERLEAVE, TILE_ROWS,
                        pad_maxt=-1.0)
+    fo, hp = _fanout_for(cbvh)
     t_tiles, prim_f, u_tiles, v_tiles = _cluster_traverse(
         rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
-        cbvh.cluster_size, any_hit=False, interpret=interpret)
+        cbvh.cluster_size, any_hit=False, interpret=interpret,
+        fanout=fo, heap=hp)
     return jnp.stack([t_tiles.reshape(-1)[:n], prim_f.reshape(-1)[:n],
                       u_tiles.reshape(-1)[:n], v_tiles.reshape(-1)[:n]],
                      axis=1)
@@ -955,10 +1025,12 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
 
         rays8 = _pack_rays(op_k, d_k, mt_k, npad, npad, n_groups,
                            INTERLEAVE, rows, pad_maxt=-1.0)
+        fo, hp = _fanout_for(cbvh)
         t_t, prim_t, u_t, v_t = _cluster_traverse(
             rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
             cbvh.cluster_size, any_hit=any_hit, interpret=interpret,
-            tile_roots=tile_roots, tile_splits=tile_splits)
+            tile_roots=tile_roots, tile_splits=tile_splits,
+            fanout=fo, heap=hp)
 
         # un-sort: ONE sort keyed by the carried original pair index puts
         # the outputs back in ray order (replaces the round-2
@@ -1062,9 +1134,11 @@ def cluster_any_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t,
         inv = None
     rays8 = _pack_rays(o, d, mt, n, npad, n_groups, INTERLEAVE, TILE_ROWS,
                        pad_maxt=-1.0)
+    fo, hp = _fanout_for(cbvh)
     t_tiles, prim_f, _, _ = _cluster_traverse(
         rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
-        cbvh.cluster_size, any_hit=True, interpret=interpret)
+        cbvh.cluster_size, any_hit=True, interpret=interpret,
+        fanout=fo, heap=hp)
     t_tiles, prim_f = checkpoint_name((t_tiles, prim_f), "traced_hits")
     outs = jnp.stack([t_tiles.reshape(-1)[:n], prim_f.reshape(-1)[:n]],
                      axis=1)
