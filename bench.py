@@ -78,9 +78,15 @@ def main():
     # T=128 / m=8 measured optimal on this scene, docs/PERF.md)
     import dataclasses as _dc
     from visionaray_tpu.ops.pallas.cluster_bvh import build_cluster_bvh
+    t0 = time.perf_counter()
     scene = _dc.replace(scene, bvh=jax.jit(
         build_cluster_bvh, static_argnames=("cluster_size", "treelet_size"))(
             scene.mesh, cluster_size=32, treelet_size=128))
+    # force completion by FETCH (block_until_ready can return before the
+    # execution ran on this backend): the build program's compile + run
+    # must not ride inside the step's compile_s measurement below
+    float(scene.bvh.nodes[0, 0])
+    bvh_build_s = time.perf_counter() - t0
 
     from visionaray_tpu.sched.render import _pixel_grid, render_pixels
 
@@ -228,6 +234,7 @@ def main():
             "coherent_primary_mrays": (round(coherent_mrays, 2)
                                        if coherent_mrays else None),
             "compile_s": round(compile_s, 1),
+            "bvh_build_s": round(bvh_build_s, 1),
             "fwd_compile_s": round(fwd_compile_s, 1),
             "compile_budget_s": COMPILE_BUDGET_S,
             "compile_over_budget": bool(compile_s > COMPILE_BUDGET_S),

@@ -51,33 +51,36 @@ xt = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]).reshape(n_t, TILE)
 yt = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)]).reshape(n_t, TILE)
 
 
-def loss_fn(verts, cd, frame):
-    mesh2 = dataclasses.replace(params.scene.mesh, vertices=verts)
-    mats2 = dataclasses.replace(params.scene.materials, cd=cd)
-    scene2 = dataclasses.replace(params.scene, mesh=mesh2, materials=mats2)
-    p2 = dataclasses.replace(params, scene=scene2)
+# params/cam/tiles ride as jit ARGUMENTS (closed-over device arrays embed
+# as MLIR constants and fetch host-side through the slow tunnel during
+# lowering — the r4 compile trap, docs/PERF.md)
+def loss_fn(verts, cd, frame, p, kam, txt, tyt):
+    mesh2 = dataclasses.replace(p.scene.mesh, vertices=verts)
+    mats2 = dataclasses.replace(p.scene.materials, cd=cd)
+    scene2 = dataclasses.replace(p.scene, mesh=mesh2, materials=mats2)
+    p2 = dataclasses.replace(p, scene=scene2)
 
     def tile_fn(args):
         tx, ty = args
-        color, _ = render_pixels(p2, cam, tx, ty, W, H, "pathtracing", 1,
+        color, _ = render_pixels(p2, kam, tx, ty, W, H, "pathtracing", 1,
                                  "jittered_blend", frame, nee=NEE)
         return jnp.sum(color[..., :3])
 
-    return jnp.sum(jax.lax.map(tile_fn, (xt, yt))) / (n * 3)
+    return jnp.sum(jax.lax.map(tile_fn, (txt, tyt))) / (n * 3)
 
 
 step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
 v, c = params.scene.mesh.vertices, params.scene.materials.cd
 t0 = time.perf_counter()
-out = step(v, c, jnp.uint32(1))
-jax.block_until_ready(out)
+out = step(v, c, jnp.uint32(1), params, cam, xt, yt)
+float(out[0])     # fetch forces completion (block_until_ready can return
+                  # before the execution ran on this backend)
 print(f"compile+1st: {time.perf_counter() - t0:.1f}s", flush=True)
-best = float("inf")
+t0 = time.perf_counter()
 for i in range(REPS):
-    t0 = time.perf_counter()
-    out = step(v, c, jnp.uint32(2 + i))
-    jax.block_until_ready(out)
-    best = min(best, time.perf_counter() - t0)
+    out = step(v, c, jnp.uint32(2 + i), params, cam, xt, yt)
+float(out[0])     # dispatch all reps, fetch only the last
+avg = (time.perf_counter() - t0) / REPS
 rays = W * H * BOUNCES * (2 if NEE else 1)
 print(f"TILE=2^{TILE.bit_length()-1} T={T} B={B} NEE={int(NEE)}: "
-      f"{best:.2f}s/step  {rays/best/1e6:.3f} Mrays/s", flush=True)
+      f"{avg:.2f}s/step  {rays/avg/1e6:.3f} Mrays/s", flush=True)

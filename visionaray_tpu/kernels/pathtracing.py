@@ -112,7 +112,15 @@ def _nee_direct(lights, nc, surf, n, view_dir, isect_pos, eps, ua, ub, ul,
     if mask is not None:
         fire = fire & mask
     mt = jnp.where(fire, dist - 2.0 * eps, -1.0)
-    shadow = trace_any(Ray(ori=isect_pos + wi * eps, dir=wi), mt)
+    if _SHADOW_REVERSED:
+        # trace the SAME segment from the light end: all NEE shadow rays
+        # of a point/small-area light share (nearly) one origin, so the
+        # reversed batch is point-source coherent — tiles sorted by
+        # surface-point locality become narrow cones (A/B knob; the
+        # occlusion answer over a segment is direction-symmetric)
+        shadow = trace_any(Ray(ori=P - wi * eps, dir=-wi), mt)
+    else:
+        shadow = trace_any(Ray(ori=isect_pos + wi * eps, dir=wi), mt)
     visible = fire & ~shadow.hit
     direct = surf.materials.shade(n, view_dir, wi, I)
     return direct * (g * visible * float(total))[..., None]
@@ -123,6 +131,8 @@ def _nee_direct(lights, nc, surf, n, view_dir, isect_pos, eps, ua, ub, ul,
 # routing them through the sorted global-consensus kernel instead of the
 # treelet-binned one (docs/PERF.md records the measurement).
 _SHADOW_BINNED = os.environ.get("VSNRAY_SHADOW_BINNED", "1") == "1"
+# A/B knob: trace NEE shadow segments from the LIGHT end (see _nee_direct)
+_SHADOW_REVERSED = os.environ.get("VSNRAY_SHADOW_REVERSED", "0") == "1"
 
 
 def scene_tracer(params: KernelParams, binned: bool):
