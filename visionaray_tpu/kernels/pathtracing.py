@@ -131,8 +131,10 @@ def _nee_direct(lights, nc, surf, n, view_dir, isect_pos, eps, ua, ub, ul,
 # routing them through the sorted global-consensus kernel instead of the
 # treelet-binned one (docs/PERF.md records the measurement).
 _SHADOW_BINNED = os.environ.get("VSNRAY_SHADOW_BINNED", "1") == "1"
-# A/B knob: trace NEE shadow segments from the LIGHT end (see _nee_direct)
-_SHADOW_REVERSED = os.environ.get("VSNRAY_SHADOW_REVERSED", "0") == "1"
+# Trace NEE shadow segments from the LIGHT end (see _nee_direct).  ON by
+# default: step 5.57 -> 5.29 s at the bench config (docs/PERF.md r5
+# ladder); the knob remains for A/B.
+_SHADOW_REVERSED = os.environ.get("VSNRAY_SHADOW_REVERSED", "1") == "1"
 
 
 def scene_tracer(params: KernelParams, binned: bool):

@@ -337,6 +337,20 @@ def closest_hit(ray: Ray, scene, use_bvh: Optional[bool] = None,
     return best
 
 
+def _shadow_m():
+    """Occlusion-query treelet slots: any-hit rounds stop at the first
+    hit, so fewer slots than the closest-hit path can win (sweep knob;
+    docs/PERF.md round-5 ladder)."""
+    import os
+    from visionaray_tpu.ops.pallas.traverse import BIN_M
+    # default 3 (vs BIN_M=6 on the closest path): swept with reversed
+    # shadows at the step config — 2/3/4/5/6 -> 5.32/5.21/5.24/5.25/5.29
+    # s/step (docs/PERF.md r5 ladder).  Coverage stays exact at any m
+    # (the overflow slot subsumes the tail).
+    v = os.environ.get("VSNRAY_SHADOW_M", "")
+    return int(v) if v else 3
+
+
 def any_hit(ray: Ray, scene, max_t, use_bvh: Optional[bool] = None,
             hit_filter=None, binned: bool = False) -> HitRecord:
     """Any-hit (occlusion) query with max_t (traverse_linear.inl:186-272).
@@ -368,7 +382,8 @@ def any_hit(ray: Ray, scene, max_t, use_bvh: Optional[bool] = None,
                                                max_t=max_t)
             elif binned and scene.bvh.treelet_size > 0:
                 hr = binned_any_hit(ray, scene.bvh, scene.mesh, max_t,
-                                    interpret=_interpret_default())
+                                    interpret=_interpret_default(),
+                                    m=_shadow_m())
             else:
                 hr = cluster_any_hit(ray, scene.bvh, scene.mesh, max_t,
                                      interpret=_interpret_default())
