@@ -159,3 +159,42 @@ def test_binned_gradients(setup):
     g = jax.grad(loss)(mesh.vertices)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0.0
+
+
+def test_half_skip_matches_brute():
+    """K=16 kd build carries half-cluster AABBs (half_boxes): the kernel's
+    half-skip MT gating must not change any hit (skipping a half whose box
+    misses the tile hull is conservative-correct)."""
+    from visionaray_tpu.ops.pallas.traverse import (
+        binned_closest_hit, cluster_closest_hit,
+    )
+    verts, faces = random_triangles(160, seed=11, extent=3.0, tri_size=0.7)
+    mesh = TriangleMesh.create(verts, faces)
+    build = jax.jit(build_cluster_bvh,
+                    static_argnames=("cluster_size", "treelet_size"))
+    cbvh = build(mesh, cluster_size=16, treelet_size=4)
+    assert cbvh.half_boxes
+    import visionaray_tpu.ops.pallas.traverse as trav
+    monkey_prev = trav._HALFSKIP_ENV
+    trav._HALFSKIP_ENV = True   # the skip is off by default (PERF r5)
+    rng = np.random.default_rng(5)
+    n = 48
+    o = rng.uniform(-2.5, 2.5, (n, 3)).astype(np.float32)
+    cent = verts.reshape(-1, 3, 3).mean(axis=1)
+    d = (cent[rng.integers(0, len(cent), n)] - o).astype(np.float32)
+    d[40:] = rng.normal(size=(n - 40, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ray = Ray(jnp.asarray(o), jnp.asarray(d))
+    v1, e1, e2 = mesh.corners()
+    ref = intersect_triangles_brute(ray, v1, e1, e2, mesh.geom_ids)
+    for fn in (binned_closest_hit, cluster_closest_hit):
+        got = fn(ray, cbvh, mesh, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.hit),
+                                      np.asarray(ref.hit))
+        np.testing.assert_allclose(
+            np.asarray(got.t)[np.asarray(ref.hit)],
+            np.asarray(ref.t)[np.asarray(ref.hit)], rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(got.prim_id)[np.asarray(ref.hit)],
+            np.asarray(ref.prim_id)[np.asarray(ref.hit)])
+    trav._HALFSKIP_ENV = monkey_prev

@@ -84,7 +84,7 @@ def pick_cluster_size(num_prims: int) -> int:
 
 
 @pytree_dataclass(static=("num_clusters", "cluster_size", "treelet_size",
-                          "num_treelets", "heap"))
+                          "num_treelets", "heap", "half_boxes"))
 class ClusterBVH:
     nodes: Any          # (2C-1, 8) f32 node table (one node per row)
     tris: Any           # (C, K//8, 128) f32: 8 x 16-float tri records per row
@@ -97,6 +97,8 @@ class ClusterBVH:
     treelet_roots: Any = None    # (S,) i32 node-table rows of treelet roots
     heap: bool = False           # complete-heap layout (kd build): children
                                  # of i at 2i+1/2i+2; enables BVH4 descent
+    half_boxes: bool = False     # records 0/1 pad cols 10..15 carry the
+                                 # two half-cluster AABBs (kernel half-skip)
 
     @property
     def num_prims(self):
@@ -352,6 +354,20 @@ def _build_kd_tree(v1, e1, e2, K: int, T: int,
         prim_ids.reshape(Cp, K, 1).astype(jnp.float32),
         jnp.zeros((Cp, K, 6), jnp.float32),
     ], axis=-1)
+    half_boxes = K >= 16
+    if half_boxes:
+        # the kd order makes the cluster's two K/2 halves its own kd
+        # children — spatially compact sub-boxes.  Ride them in the pad
+        # cols of records 0/1 (10..15 = lo.xyz hi.xyz) so the leaf DMA
+        # delivers them to SMEM for the kernel's half-skip test; padding
+        # halves get EMPTY boxes (lo > hi), so their MT skips for free.
+        h_lo = los.reshape(Cp, 2, K // 2, 3).min(axis=2)
+        h_hi = his.reshape(Cp, 2, K // 2, 3).max(axis=2)
+        h_lo = jnp.where(jnp.isfinite(h_lo), h_lo, 1e30)
+        h_hi = jnp.where(jnp.isfinite(h_hi), h_hi, -1e30)
+        for h in range(2):
+            tri_cols = tri_cols.at[:, h, 10:13].set(h_lo[:, h])
+            tri_cols = tri_cols.at[:, h, 13:16].set(h_hi[:, h])
     tris = tri_cols.reshape(Cp, K // 8, 128)
 
     lf = jnp.concatenate([left.astype(jnp.float32),
@@ -370,5 +386,5 @@ def _build_kd_tree(v1, e1, e2, K: int, T: int,
         treelet_size=int(T), num_treelets=int(S),
         treelet_lo=node_lo[S - 1: 2 * S - 1],
         treelet_hi=node_hi[S - 1: 2 * S - 1],
-        treelet_roots=troot_rows, heap=True,
+        treelet_roots=troot_rows, heap=True, half_boxes=bool(half_boxes),
     )

@@ -87,7 +87,7 @@ def _traverse_kernel(rays_ref, boxes_ref, kids_ref, roots_ref, splits_ref,
                      out_v_ref, tri_smem, stack_ref, dma_sem, *,
                      num_clusters: int, cluster_size: int, any_hit: bool,
                      rows: int, group: int, fanout: int = 2,
-                     heap: bool = False):
+                     heap: bool = False, half_skip: bool = False):
     C = num_clusters
     K = cluster_size
     G = group
@@ -185,8 +185,9 @@ def _traverse_kernel(rays_ref, boxes_ref, kids_ref, roots_ref, splits_ref,
         i_c = [pick(i_iv[g][0][a], i_iv[g][1][a]) for a in range(3)]
         return (o_c, i_c)
 
-    def frustum_test(ivs, n, maxt):
-        """Scalar conservative slab test of a pass hull vs node n's box.
+    def box_test(ivs, load, maxt):
+        """Scalar conservative slab test of a pass hull vs a box given by
+        ``load(c)`` (c in 0..5 = lo.xyz hi.xyz).
 
         Returns (descend?, conservative tnear): a superset of "any lane's
         slab test passes with tnear < its best t".
@@ -195,8 +196,8 @@ def _traverse_kernel(rays_ref, boxes_ref, kids_ref, roots_ref, splits_ref,
         tn = jnp.float32(-3e38)
         tf = jnp.float32(3e38)
         for a in range(3):
-            blo = node_f(n, a)
-            bhi = node_f(n, 3 + a)
+            blo = load(a)
+            bhi = load(3 + a)
             (olo, ohi) = o_ivs[a]
             (ilo, ihi) = i_ivs[a]
             axis_lo = jnp.float32(3e38)
@@ -219,12 +220,16 @@ def _traverse_kernel(rays_ref, boxes_ref, kids_ref, roots_ref, splits_ref,
         want = (tf >= tn) & (tf >= 0.0) & (tn < maxt)
         return want, tn
 
+    def frustum_test(ivs, n, maxt):
+        return box_test(ivs, lambda c: node_f(n, c), maxt)
+
     def dma_for(g, c):
         return pltpu.make_async_copy(
             tris_hbm.at[c], tri_smem.at[g], dma_sem.at[g])
 
-    def intersect_cluster(g, best_t, best_prim, best_u, best_v, done_mask):
-        """Tile g (vector lanes) vs the K triangles in its SMEM slot.
+    def intersect_cluster(g, best_t, best_prim, best_u, best_v, done_mask,
+                          k0=0, k1=None):
+        """Tile g (vector lanes) vs triangles [k0, k1) in its SMEM slot.
 
         Triangle components are scalar SMEM loads broadcast into vector
         Moeller-Trumbore over all rows*128 lanes — no vector->scalar
@@ -282,7 +287,7 @@ def _traverse_kernel(rays_ref, boxes_ref, kids_ref, roots_ref, splits_ref,
         # software-pipelines across triangles instead of serializing on a
         # fori carry
         carry = (best_t, best_prim, best_u, best_v)
-        for k in range(K):
+        for k in range(k0, K if k1 is None else k1):
             carry = tri_body(k, carry)
         return carry
 
@@ -339,15 +344,36 @@ def _traverse_kernel(rays_ref, boxes_ref, kids_ref, roots_ref, splits_ref,
                 # --- leaf path: wait DMA, dense vector intersect, refresh
                 # the scalar occlusion bound (the only vector work + the
                 # only vector->scalar sync in the loop)
-                def do_leaf(args, g=g, pas_g=pas[g]):
+                def do_leaf(args, g=g, pas_g=pas[g], ivs=ivs):
                     bt, bp, bu, bv, mt_ = args
                     dma_for(g, jnp.maximum(node[g] - leaf_base, 0)).wait()
                     sel = sel_of(g, pas_g)
                     done_mask = ~sel
                     if any_hit:
                         done_mask = done_mask | (bt < ray_comp(6, g))
-                    bt, bp, bu, bv = intersect_cluster(
-                        g, bt, bp, bu, bv, done_mask)
+                    if half_skip:
+                        # kd half-cluster AABBs ride the record padding
+                        # (cluster_bvh: record h's cols 10..15); a scalar
+                        # hull test against each half skips 16 triangles
+                        # of vector MT when the tile's frustum misses it
+                        # (padding halves carry empty boxes, so their MT
+                        # is skipped for free too)
+                        for h in range(2):
+                            okh, _ = box_test(
+                                ivs,
+                                lambda c, h=h: tri_smem[g, 0, 16 * h
+                                                        + 10 + c],
+                                mt_)
+                            bt, bp, bu, bv = jax.lax.cond(
+                                okh,
+                                lambda a, h=h: intersect_cluster(
+                                    g, *a, done_mask,
+                                    k0=h * (K // 2), k1=(h + 1) * (K // 2)),
+                                lambda a: a,
+                                (bt, bp, bu, bv))
+                    else:
+                        bt, bp, bu, bv = intersect_cluster(
+                            g, bt, bp, bu, bv, done_mask)
                     if any_hit:
                         # remaining-work bound: max max_t over THIS pass's
                         # lanes still unoccluded (dead lanes max_t < 0)
@@ -484,12 +510,12 @@ def _round_up(x, m):
 
 @functools.partial(jax.jit, static_argnames=("num_clusters", "cluster_size",
                                              "any_hit", "interpret",
-                                             "fanout", "heap"))
+                                             "fanout", "heap", "half_skip"))
 def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
                       cluster_size: int, any_hit: bool = False,
                       interpret: bool = False, tile_roots=None,
                       tile_splits=None, fanout: int = 2,
-                      heap: bool = False):
+                      heap: bool = False, half_skip: bool = False):
     """rays8: (8, n_groups, G, R, 128) rows [ox oy oz dx dy dz maxt pad].
 
     ``tile_roots``: optional (2, n_groups, G) i32 start nodes per tile
@@ -517,7 +543,7 @@ def _cluster_traverse(rays8, nodes, tris, num_clusters: int,
     kernel = functools.partial(
         _traverse_kernel, num_clusters=num_clusters,
         cluster_size=cluster_size, any_hit=any_hit, rows=rows, group=group,
-        fanout=fanout, heap=heap)
+        fanout=fanout, heap=heap, half_skip=half_skip)
     # Node table flattened to SMEM rows (SMEM rows pad to 128 lanes, so
     # (N, k) would waste; (1, N*k) is dense).  Boxes (6 f32) and packed
     # children (1 i32: left<<16 | right) ride separately — 28 B/node
@@ -662,6 +688,19 @@ def _fanout_for(cbvh):
     return 2, False
 
 
+# Half-cluster MT skip: MEASURED NEGATIVE at the step config (round 5,
+# fetch-forced): binned closest 2.40 -> 2.25 Mrays/s — the per-leaf pair
+# of scalar box tests + lax.cond overhead costs more than the skipped
+# half-MT saves (tile hulls usually overlap both kd halves).  OFF by
+# default; the machinery and its conservative-correctness test remain
+# (VSNRAY_HALFSKIP=1 to A/B on other scenes).
+_HALFSKIP_ENV = os.environ.get("VSNRAY_HALFSKIP", "0") == "1"
+
+
+def _half_skip_for(cbvh):
+    return _HALFSKIP_ENV and getattr(cbvh, "half_boxes", False)
+
+
 def _traverse_sorted(o, d, mt, n, cbvh, interpret):
     """Run the kernel on pre-sorted rays; returns (n, 4) [t prim u v]."""
     sg = jax.lax.stop_gradient
@@ -674,7 +713,7 @@ def _traverse_sorted(o, d, mt, n, cbvh, interpret):
     t_tiles, prim_f, u_tiles, v_tiles = _cluster_traverse(
         rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
         cbvh.cluster_size, any_hit=False, interpret=interpret,
-        fanout=fo, heap=hp)
+        fanout=fo, heap=hp, half_skip=_half_skip_for(cbvh))
     return jnp.stack([t_tiles.reshape(-1)[:n], prim_f.reshape(-1)[:n],
                       u_tiles.reshape(-1)[:n], v_tiles.reshape(-1)[:n]],
                      axis=1)
@@ -1030,7 +1069,7 @@ def _binned_trace(ray: Ray, cbvh: ClusterBVH, max_t, interpret: bool,
             rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
             cbvh.cluster_size, any_hit=any_hit, interpret=interpret,
             tile_roots=tile_roots, tile_splits=tile_splits,
-            fanout=fo, heap=hp)
+            fanout=fo, heap=hp, half_skip=_half_skip_for(cbvh))
 
         # un-sort: ONE sort keyed by the carried original pair index puts
         # the outputs back in ray order (replaces the round-2
@@ -1138,7 +1177,7 @@ def cluster_any_hit(ray: Ray, cbvh: ClusterBVH, mesh, max_t,
     t_tiles, prim_f, _, _ = _cluster_traverse(
         rays8, sg(cbvh.nodes), sg(cbvh.tris), cbvh.num_clusters,
         cbvh.cluster_size, any_hit=True, interpret=interpret,
-        fanout=fo, heap=hp)
+        fanout=fo, heap=hp, half_skip=_half_skip_for(cbvh))
     t_tiles, prim_f = checkpoint_name((t_tiles, prim_f), "traced_hits")
     outs = jnp.stack([t_tiles.reshape(-1)[:n], prim_f.reshape(-1)[:n]],
                      axis=1)
