@@ -67,3 +67,15 @@ def test_inverse_rendering(tmp_path):
         "--steps", "2", "--size", "8", "--bounces", "2",
         "--checkpoint", str(tmp_path / "ckpt.npz"))
     assert "loss" in out.lower() or "step" in out.lower(), out
+
+
+@pytest.mark.timeout(300)
+def test_silhouette_optimization(tmp_path):
+    out = _run_example(tmp_path, "silhouette_optimization.py",
+                       "--steps", "25", "--size", "32")
+    assert (tmp_path / "silhouette_after.png").exists()
+    # the loss must actually drop (the boundary term moves the silhouette)
+    lines = [ln for ln in out.splitlines() if ln.startswith("step")]
+    first = float(lines[0].split("loss")[1].split()[0])
+    last = float(lines[-1].split("loss")[1].split()[0])
+    assert last < 0.5 * first, out
