@@ -292,3 +292,133 @@ class TestPathtracingBoundary:
         g = np.asarray(g)
         assert np.isfinite(g).all()
         assert np.abs(g).sum() > 0.0
+
+
+# ----------------------------------------------------- shadow boundaries
+
+class TestShadowBoundary:
+    """Hard-shadow boundary term (diff/boundary.py shadow_boundary_image):
+    a blocker between a point light and a receiver plane casts a moving
+    shadow whose FD gradient plain autodiff + the PRIMARY boundary term
+    cannot fully explain — the shadow curve is not a mesh edge."""
+
+    W = H = 48
+
+    def _scene(self, verts):
+        from visionaray_tpu.core.scene import Scene, TriangleMesh
+        faces = np.array([[0, 1, 2],            # blocker
+                          [3, 4, 5], [3, 5, 6]  # ground quad
+                          ], np.int32)
+        mesh = TriangleMesh.create(verts, faces)
+        mats = Materials.concatenate([
+            Materials.matte(cd=(0.8, 0.3, 0.2)),
+            Materials.matte(cd=(0.7, 0.7, 0.65)),
+        ])
+        lights = PointLights.create(position=[[0.6, 3.0, 0.8]],
+                                    cl=[[1.0, 1.0, 1.0]], kl=[1.2])
+        scene = Scene.create(
+            mesh=TriangleMesh.create(
+                verts, faces, geom_ids=np.array([0, 1, 1], np.int32)),
+            materials=mats, lights=lights)
+        return scene, faces
+
+    BASE_V = np.array([
+        [-0.45, 0.8, -0.25], [0.45, 0.8, -0.2], [0.0, 0.8, 0.55],  # blocker
+        [-2.5, 0.0, -2.5], [2.5, 0.0, -2.5],
+        [2.5, 0.0, 2.5], [-2.5, 0.0, 2.5],                         # ground
+    ], np.float32)
+
+    CAM = Pinhole.create(eye=(0.0, 2.6, 3.2), center=(0.0, 0.3, 0.0),
+                         fovy=np.deg2rad(50), aspect=1.0)
+
+    def _params(self, verts):
+        scene, _ = self._scene(verts)
+        return KernelParams.create(scene, num_bounces=1, epsilon=1e-3,
+                                   bg_color=BG, ambient_color=AMB)
+
+    def _loss_fd(self, verts, spp=64):
+        color, _ = _render_frame(self._params(jnp.asarray(verts)),
+                                 self.CAM, self.W, self.H, "whitted",
+                                 spp, "jittered", 0, jnp.uint32(1), 0)
+        return float(_loss_of_img(color))
+
+    def _loss_analytic(self, verts, adj, shadow=True, light_pos=None):
+        from visionaray_tpu.diff.boundary import shadow_boundary_image
+        p = self._params(verts)
+        if light_pos is not None:
+            lights2 = dataclasses.replace(p.scene.lights,
+                                          position=light_pos[None, :])
+            p = dataclasses.replace(
+                p, scene=dataclasses.replace(p.scene, lights=lights2))
+        color, _ = _render_frame(p, self.CAM, self.W, self.H, "whitted",
+                                 1, "uniform", 0, jnp.uint32(1), 0)
+        color = color + boundary_image(
+            p, self.CAM, self.W, self.H, adj, algo="whitted",
+            vertices=verts, samples_per_edge=24)
+        if shadow:
+            color = color + shadow_boundary_image(
+                p, self.CAM, self.W, self.H, adj, algo="whitted",
+                vertices=verts, samples_per_edge=24,
+                light_pos=light_pos)
+        return _loss_of_img(color)
+
+    def test_blocker_translation_matches_fd(self):
+        from visionaray_tpu.diff.boundary import build_edge_adjacency
+        adj = build_edge_adjacency(self._scene(self.BASE_V)[1], self.BASE_V)
+        h = 0.04
+        dv = np.zeros_like(self.BASE_V)
+        dv[:3, 0] = 1.0
+        fd = (self._loss_fd(self.BASE_V + h * dv)
+              - self._loss_fd(self.BASE_V - h * dv)) / (2 * h)
+
+        def loss(t, shadow):
+            v = jnp.asarray(self.BASE_V) + t * jnp.asarray(dv)
+            return self._loss_analytic(v, adj, shadow=shadow)
+
+        g_no_shadow = float(jax.grad(lambda t: loss(t, False))(0.0))
+        g_full = float(jax.grad(lambda t: loss(t, True))(0.0))
+        assert fd != 0.0
+        # without the shadow term a real part of the FD gradient is
+        # unaccounted for; with it the totals agree
+        assert abs(g_full - fd) <= 0.25 * abs(fd), (g_full, g_no_shadow, fd)
+        assert abs(g_full - fd) < abs(g_no_shadow - fd), (
+            g_full, g_no_shadow, fd)
+
+    def test_light_position_gradient_matches_fd(self):
+        from visionaray_tpu.diff.boundary import build_edge_adjacency
+        adj = build_edge_adjacency(self._scene(self.BASE_V)[1], self.BASE_V)
+        L0 = np.array([0.6, 3.0, 0.8], np.float32)
+        h = 0.06
+
+        def loss_fd_L(Lx):
+            p = self._params(jnp.asarray(self.BASE_V))
+            lights2 = dataclasses.replace(
+                p.scene.lights,
+                position=jnp.asarray([[Lx, L0[1], L0[2]]], jnp.float32))
+            p = dataclasses.replace(
+                p, scene=dataclasses.replace(p.scene, lights=lights2))
+            color, _ = _render_frame(p, self.CAM, self.W, self.H,
+                                     "whitted", 64, "jittered", 0,
+                                     jnp.uint32(1), 0)
+            return float(_loss_of_img(color))
+
+        fd = (loss_fd_L(L0[0] + h) - loss_fd_L(L0[0] - h)) / (2 * h)
+
+        def loss(lx):
+            L = jnp.asarray([lx, L0[1], L0[2]])
+            return self._loss_analytic(jnp.asarray(self.BASE_V), adj,
+                                       shadow=True, light_pos=L)
+
+        g = float(jax.grad(loss)(L0[0]))
+        assert fd != 0.0
+        assert abs(g - fd) <= 0.25 * abs(fd) + 5e-4, (g, fd)
+
+    def test_shadow_image_value_is_zero(self):
+        from visionaray_tpu.diff.boundary import (
+            build_edge_adjacency, shadow_boundary_image,
+        )
+        adj = build_edge_adjacency(self._scene(self.BASE_V)[1], self.BASE_V)
+        b = shadow_boundary_image(self._params(jnp.asarray(self.BASE_V)),
+                                  self.CAM, self.W, self.H, adj,
+                                  algo="whitted")
+        assert float(jnp.abs(b).max()) == 0.0

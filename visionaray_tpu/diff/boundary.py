@@ -277,3 +277,139 @@ def boundary_image(params, cam, width: int, height: int,
         contrib.reshape(-1, 4))
     # forward value exactly 0; vjp carries the boundary term
     return img - jax.lax.stop_gradient(img)
+
+
+# ---------------------------------------------------------------------------
+# Secondary visibility: hard-shadow boundary gradients (point lights).
+#
+# A shadow boundary on a receiver is ALSO a screen-space discontinuity
+# curve, but not a mesh edge: it is the projection (through the light) of
+# the blocker's light-silhouette onto the receiver.  The same edge-sampling
+# estimator applies once the curve is parameterized differentiably:
+#
+#     s on blocker edge (theta)  ->  q(s; theta)           3D edge point
+#     ray  light L(theta) -> q    ->  receiver prim (stop_gradient search)
+#     differentiable ray-plane intersection with that prim -> r(s; theta)
+#     project(r) -> p(s; theta)   ->  screen curve point
+#
+# and the boundary term is sum_j w_j * Δf_j * (n̂_j · p_j(theta)) exactly as
+# for primary silhouettes — with gradient paths through the BLOCKER
+# vertices (q), the LIGHT position (L), the RECEIVER vertices (the plane),
+# and the camera.  Δf is measured by image-space probes, so shadow curves
+# that are themselves occluded from the camera contribute ~0 automatically.
+
+
+def shadow_boundary_image(params, cam, width: int, height: int,
+                          adjacency: EdgeAdjacency, *, algo: str = "whitted",
+                          nee: bool = False, samples_per_edge: int = 8,
+                          delta: float = 0.03, seed: int = 0,
+                          frame_num: int = 1, vertices=None,
+                          light_pos=None, light_index: int = 0):
+    """Zero-valued (H, W, 4) image whose gradient is the hard-shadow
+    boundary term of one point light.  Add it (with `boundary_image` for
+    the primary term) to the rendered image before the loss.
+
+    ``light_pos``: differentiable (3,) light position; defaults to
+    ``params.scene.lights.position[light_index]``.  Scope: point/spot
+    lights (hard shadows); area-light penumbra terms remain future work.
+    """
+    from visionaray_tpu.ops.trace import closest_hit
+
+    mesh = params.scene.mesh
+    if vertices is None:
+        vertices = mesh.vertices
+    if light_pos is None:
+        light_pos = params.scene.lights.position[light_index]
+    L = jnp.asarray(light_pos, jnp.float32)
+    view = cam.view_matrix()
+    proj = cam.proj_matrix()
+    eps = jnp.float32(params.epsilon)
+
+    sg = jax.lax.stop_gradient
+    sil = silhouette_mask(sg(vertices), mesh.faces, adjacency, sg(L),
+                          geom_ids=mesh.geom_ids)
+
+    E = adjacency.edges.shape[0]
+    M = samples_per_edge
+    a3 = vertices[adjacency.edges[:, 0]]             # (E, 3) differentiable
+    b3 = vertices[adjacency.edges[:, 1]]
+    s = (jnp.arange(M, dtype=jnp.float32) + 0.5) / M
+    q = (a3[:, None, :] * (1.0 - s[None, :, None])
+         + b3[:, None, :] * s[None, :, None])        # (E, M, 3)
+
+    # --- receiver search (detached): closest hit just past the edge point
+    to_q = sg(q) - sg(L)[None, None, :]
+    dist_q = jnp.linalg.norm(to_q, axis=-1)
+    dhat_d = to_q / jnp.maximum(dist_q, 1e-12)[..., None]
+    from visionaray_tpu.core.types import Ray as _Ray
+    probe_ray = _Ray(ori=(sg(q) + dhat_d * (4.0 * eps)).reshape(-1, 3),
+                     dir=dhat_d.reshape(-1, 3))
+    rhr = closest_hit(probe_ray, _detach(params.scene))
+    rprim = rhr.prim_id.reshape(E, M)
+    rvalid = rhr.hit.reshape(E, M)
+
+    # --- differentiable curve point: ray (L -> q) ∩ receiver plane
+    v1, e1, e2 = mesh.corners()
+    pv1 = jnp.take(v1, rprim.reshape(-1), axis=0).reshape(E, M, 3)
+    nr = jnp.cross(jnp.take(e1, rprim.reshape(-1), axis=0),
+                   jnp.take(e2, rprim.reshape(-1), axis=0)).reshape(E, M, 3)
+
+    def curve_point(qq):
+        # unnormalized ray L + t*(q - L): t = 1 AT the edge point, so the
+        # receiver-beyond-blocker test below is t_r > 1 (parameterization
+        # note: t_r is NOT a world distance)
+        d = qq - L[None, None, :]
+        denom = jnp.sum(d * nr, axis=-1)
+        scale = (jnp.linalg.norm(d, axis=-1)
+                 * jnp.linalg.norm(nr, axis=-1))
+        grazing = jnp.abs(denom) < 1e-7 * jnp.maximum(scale, 1e-12)
+        t_r = jnp.sum((pv1 - L[None, None, :]) * nr, axis=-1) \
+            / jnp.where(grazing, 1.0, denom)
+        r = L[None, None, :] + d * t_r[..., None]
+        p = project(r, view, proj, (0.0, 0.0, width, height))[..., :2]
+        return p, t_r, grazing
+
+    p, t_r, grazing = curve_point(q)
+
+    # --- detached tangent/normal/length element via curve samples s ± ds
+    ds = 0.5 / M
+    edge_dir = sg(b3 - a3)[:, None, :]
+    p_hi, _, _ = curve_point(sg(q) + edge_dir * ds)
+    p_lo, _, _ = curve_point(sg(q) - edge_dir * ds)
+    tan = jax.lax.stop_gradient(p_hi - p_lo)         # (E, M, 2) ∝ dp/ds
+    seg = jnp.linalg.norm(tan, axis=-1)
+    tangent = tan / jnp.maximum(seg, 1e-12)[..., None]
+    normal = jnp.stack([-tangent[..., 1], tangent[..., 0]], axis=-1)
+    # |dp/ds| * (1/M): the curve-length measure each sample carries
+    w = jax.lax.stop_gradient(seg / (2.0 * ds) / M)
+
+    # validity: silhouette edge, real receiver, non-grazing plane, receiver
+    # in front of the edge point (t_r beyond q), curve point on-screen
+    p_d = jax.lax.stop_gradient(p)
+    t_r_d = jax.lax.stop_gradient(t_r)
+    valid = (sil[:, None] & rvalid & (~grazing)
+             & (t_r_d > 1.0 + 2.0 * eps
+                / jnp.maximum(jax.lax.stop_gradient(dist_q), 1e-6))
+             & (p_d[..., 0] >= 0) & (p_d[..., 0] < width)
+             & (p_d[..., 1] >= 0) & (p_d[..., 1] < height))
+    w = jnp.where(valid, w, 0.0)
+
+    # --- two-sided image-space radiance probes (detached)
+    probe = delta * normal
+    flat = lambda a: a.reshape(E * M, 2)
+    f_minus = _radiance_at(params, cam, flat(p_d - probe)[:, 0],
+                           flat(p_d - probe)[:, 1], width, height,
+                           algo, nee, seed, frame_num)
+    f_plus = _radiance_at(params, cam, flat(p_d + probe)[:, 0],
+                          flat(p_d + probe)[:, 1], width, height,
+                          algo, nee, seed, frame_num)
+    dF = (f_minus - f_plus).reshape(E, M, 4)
+
+    vel_n = jnp.sum(normal * p, axis=-1)             # gradient path
+    contrib = w[..., None] * dF * vel_n[..., None]
+
+    ix = jnp.clip(jnp.floor(p_d[..., 0]).astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(jnp.floor(p_d[..., 1]).astype(jnp.int32), 0, height - 1)
+    img = jnp.zeros((height, width, 4), jnp.float32)
+    img = img.at[iy.reshape(-1), ix.reshape(-1)].add(contrib.reshape(-1, 4))
+    return img - jax.lax.stop_gradient(img)
