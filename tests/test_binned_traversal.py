@@ -185,16 +185,18 @@ def test_half_skip_matches_brute():
     d[40:] = rng.normal(size=(n - 40, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     ray = Ray(jnp.asarray(o), jnp.asarray(d))
-    v1, e1, e2 = mesh.corners()
-    ref = intersect_triangles_brute(ray, v1, e1, e2, mesh.geom_ids)
-    for fn in (binned_closest_hit, cluster_closest_hit):
-        got = fn(ray, cbvh, mesh, interpret=True)
-        np.testing.assert_array_equal(np.asarray(got.hit),
-                                      np.asarray(ref.hit))
-        np.testing.assert_allclose(
-            np.asarray(got.t)[np.asarray(ref.hit)],
-            np.asarray(ref.t)[np.asarray(ref.hit)], rtol=1e-5)
-        np.testing.assert_array_equal(
-            np.asarray(got.prim_id)[np.asarray(ref.hit)],
-            np.asarray(ref.prim_id)[np.asarray(ref.hit)])
-    trav._HALFSKIP_ENV = monkey_prev
+    try:
+        v1, e1, e2 = mesh.corners()
+        ref = intersect_triangles_brute(ray, v1, e1, e2, mesh.geom_ids)
+        for fn in (binned_closest_hit, cluster_closest_hit):
+            got = fn(ray, cbvh, mesh, interpret=True)
+            np.testing.assert_array_equal(np.asarray(got.hit),
+                                          np.asarray(ref.hit))
+            np.testing.assert_allclose(
+                np.asarray(got.t)[np.asarray(ref.hit)],
+                np.asarray(ref.t)[np.asarray(ref.hit)], rtol=1e-5)
+            np.testing.assert_array_equal(
+                np.asarray(got.prim_id)[np.asarray(ref.hit)],
+                np.asarray(ref.prim_id)[np.asarray(ref.hit)])
+    finally:
+        trav._HALFSKIP_ENV = monkey_prev

@@ -422,3 +422,25 @@ class TestShadowBoundary:
                                   self.CAM, self.W, self.H, adj,
                                   algo="whitted")
         assert float(jnp.abs(b).max()) == 0.0
+
+    def test_receiver_grads_flow_through_vertices_arg(self):
+        # regression (r5 review): the receiver plane must derive from the
+        # `vertices` ARGUMENT — with params held fixed, grads w.r.t. a
+        # separate theta leaf must reach the RECEIVER (ground) vertices,
+        # not just the blocker
+        from visionaray_tpu.diff.boundary import (
+            build_edge_adjacency, shadow_boundary_image,
+        )
+        adj = build_edge_adjacency(self._scene(self.BASE_V)[1], self.BASE_V)
+        p0 = self._params(jnp.asarray(self.BASE_V))
+
+        def loss(v):
+            b = shadow_boundary_image(p0, self.CAM, self.W, self.H, adj,
+                                      algo="whitted", vertices=v,
+                                      samples_per_edge=8)
+            return _loss_of_img(b)
+
+        g = np.asarray(jax.grad(loss)(jnp.asarray(self.BASE_V)))
+        assert np.isfinite(g).all()
+        assert np.abs(g[3:]).sum() > 0.0, "receiver grads are zero"
+        assert np.abs(g[:3]).sum() > 0.0, "blocker grads are zero"

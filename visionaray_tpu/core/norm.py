@@ -29,11 +29,14 @@ def _smax(bits: int) -> float:
     return float((1 << (bits - 1)) - 1)
 
 
-def float_to_unorm(f, bits: int = 8):
+def float_to_unorm(f, bits: int = 8, dtype=None):
     """Quantize [0,1] float -> Bits-wide unsigned (unorm.inl:20-24):
-    saturate, scale by double(2^Bits - 1), truncate."""
+    saturate, scale by double(2^Bits - 1), truncate.  ``dtype`` overrides
+    the storage type for widths without a same-size integer (DEPTH24
+    stores 24 bits in uint32; io/pixel_format.py)."""
     f = np.clip(np.asarray(f), 0.0, 1.0)
-    return np.trunc(f.astype(np.float64) * _umax(bits)).astype(_UINT[bits])
+    return np.trunc(f.astype(np.float64) * _umax(bits)).astype(
+        dtype or _UINT[bits])
 
 
 def unorm_to_float(u, bits: int = 8):
@@ -42,11 +45,12 @@ def unorm_to_float(u, bits: int = 8):
     return (u.astype(np.float64) / _umax(bits)).astype(np.float32)
 
 
-def float_to_snorm(f, bits: int = 8):
+def float_to_snorm(f, bits: int = 8, dtype=None):
     """Quantize [-1,1] float (snorm.inl:20-26): clamp, scale by
     double(2^(Bits-1) - 1), truncate toward zero."""
     f = np.clip(np.asarray(f), -1.0, 1.0)
-    return np.trunc(f.astype(np.float64) * _smax(bits)).astype(_INT[bits])
+    return np.trunc(f.astype(np.float64) * _smax(bits)).astype(
+        dtype or _INT[bits])
 
 
 def snorm_to_float(s, bits: int = 8):

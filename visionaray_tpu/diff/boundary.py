@@ -226,7 +226,13 @@ def boundary_image(params, cam, width: int, height: int,
 
     # --- optional fixed-size edge budget --------------------------------
     if edge_budget is not None and edge_budget < weight.shape[0]:
-        key = jax.random.PRNGKey(seed ^ 0x9E3779B9)
+        # fold the frame in: with a fixed seed across a training loop a
+        # seed-only key would draw the SAME edge subset every step, so
+        # never-drawn silhouette edges would get persistently zero
+        # gradient instead of a fresh Monte Carlo pick per call
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(seed ^ 0x9E3779B9),
+            jnp.asarray(frame_num, jnp.uint32))
         total = jnp.sum(weight)
         p = weight / jnp.maximum(total, 1e-12)
         idx = jax.random.categorical(
@@ -348,11 +354,15 @@ def shadow_boundary_image(params, cam, width: int, height: int,
     rprim = rhr.prim_id.reshape(E, M)
     rvalid = rhr.hit.reshape(E, M)
 
-    # --- differentiable curve point: ray (L -> q) ∩ receiver plane
-    v1, e1, e2 = mesh.corners()
-    pv1 = jnp.take(v1, rprim.reshape(-1), axis=0).reshape(E, M, 3)
-    nr = jnp.cross(jnp.take(e1, rprim.reshape(-1), axis=0),
-                   jnp.take(e2, rprim.reshape(-1), axis=0)).reshape(E, M, 3)
+    # --- differentiable curve point: ray (L -> q) ∩ receiver plane.
+    # The plane derives from the `vertices` ARGUMENT (not mesh.corners())
+    # so receiver-vertex gradients flow even when the loss carries theta
+    # as a separate leaf from params.
+    fv = mesh.faces[rprim.reshape(-1)]
+    rv1 = vertices[fv[:, 0]]
+    pv1 = rv1.reshape(E, M, 3)
+    nr = jnp.cross(vertices[fv[:, 1]] - rv1,
+                   vertices[fv[:, 2]] - rv1).reshape(E, M, 3)
 
     def curve_point(qq):
         # unnormalized ray L + t*(q - L): t = 1 AT the edge point, so the

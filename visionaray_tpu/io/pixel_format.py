@@ -17,6 +17,10 @@ from typing import Dict
 
 import numpy as np
 
+from visionaray_tpu.core.norm import (
+    float_to_snorm, float_to_unorm, snorm_to_float, unorm_to_float,
+)
+
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,12 +164,9 @@ def _to_float(arr, info: PixelFormatInfo):
         return _unpack_host(arr, info)
     bits = info.bits_per_component
     if info.kind == "unorm":
-        f = (np.asarray(arr).astype(np.float64)
-             / float((1 << bits) - 1)).astype(np.float32)
+        f = unorm_to_float(arr, bits)
     elif info.kind == "snorm":
-        f = np.maximum(np.asarray(arr).astype(np.float64)
-                       / float((1 << (bits - 1)) - 1), -1.0
-                       ).astype(np.float32)
+        f = snorm_to_float(arr, bits)
     else:  # uint / int / float: value-preserving cast
         f = np.asarray(arr).astype(np.float32)
     if info.swizzle is not None:
@@ -180,13 +181,9 @@ def _from_float(arr, info: PixelFormatInfo):
         arr = np.asarray(arr)[..., list(np.argsort(info.swizzle))]
     bits = info.bits_per_component
     if info.kind == "unorm":
-        f = np.clip(np.asarray(arr), 0.0, 1.0)
-        return np.trunc(f.astype(np.float64)
-                        * float((1 << bits) - 1)).astype(info.dtype)
+        return float_to_unorm(arr, bits, dtype=info.dtype)
     if info.kind == "snorm":
-        f = np.clip(np.asarray(arr), -1.0, 1.0)
-        return np.trunc(f.astype(np.float64)
-                        * float((1 << (bits - 1)) - 1)).astype(info.dtype)
+        return float_to_snorm(arr, bits, dtype=info.dtype)
     if info.kind == "uint":
         return np.clip(np.rint(np.asarray(arr, np.float64)), 0,
                        float((1 << bits) - 1)).astype(info.dtype)

@@ -253,7 +253,8 @@ def render(scene, cam, width: int, height: int, algo: str = "simple",
             EdgeAdjacency, boundary_image, build_edge_adjacency,
         )
         adj = boundary if isinstance(boundary, EdgeAdjacency) \
-            else build_edge_adjacency(np.asarray(scene.mesh.faces))
+            else build_edge_adjacency(np.asarray(scene.mesh.faces),
+                                      np.asarray(scene.mesh.vertices))
         color = color + boundary_image(
             params, cam, width, height, adj, algo=algo, nee=nee,
             frame_num=frame_num, seed=seed, **(boundary_opts or {}))
