@@ -444,3 +444,129 @@ class TestShadowBoundary:
         assert np.isfinite(g).all()
         assert np.abs(g[3:]).sum() > 0.0, "receiver grads are zero"
         assert np.abs(g[:3]).sum() > 0.0, "blocker grads are zero"
+
+    def test_two_lights_sum_matches_fd(self):
+        # light_index=None sums per-light shadow curves; FD over a
+        # two-point-light scene must match the summed term
+        from visionaray_tpu.diff.boundary import (
+            build_edge_adjacency, shadow_boundary_image,
+        )
+        adj = build_edge_adjacency(self._scene(self.BASE_V)[1], self.BASE_V)
+
+        def two_light(p):
+            lights2 = PointLights.create(
+                position=[[0.6, 3.0, 0.8], [-1.2, 2.6, 1.4]],
+                cl=[[1.0, 0.9, 0.8], [0.6, 0.7, 1.0]], kl=[0.9, 0.8])
+            return dataclasses.replace(
+                p, scene=dataclasses.replace(p.scene, lights=lights2))
+
+        def loss_fd(verts):
+            p = two_light(self._params(jnp.asarray(verts)))
+            color, _ = _render_frame(p, self.CAM, self.W, self.H,
+                                     "whitted", 64, "jittered", 0,
+                                     jnp.uint32(1), 0)
+            return float(_loss_of_img(color))
+
+        h = 0.04
+        dv = np.zeros_like(self.BASE_V)
+        dv[:3, 0] = 1.0
+        fd = (loss_fd(self.BASE_V + h * dv)
+              - loss_fd(self.BASE_V - h * dv)) / (2 * h)
+
+        def loss(t):
+            v = jnp.asarray(self.BASE_V) + t * jnp.asarray(dv)
+            p = two_light(self._params(v))
+            color, _ = _render_frame(p, self.CAM, self.W, self.H,
+                                     "whitted", 1, "uniform", 0,
+                                     jnp.uint32(1), 0)
+            color = color + boundary_image(
+                p, self.CAM, self.W, self.H, adj, algo="whitted",
+                vertices=v, samples_per_edge=24)
+            color = color + shadow_boundary_image(
+                p, self.CAM, self.W, self.H, adj, algo="whitted",
+                vertices=v, samples_per_edge=24, light_index=None)
+            return _loss_of_img(color)
+
+        g = float(jax.grad(loss)(0.0))
+        assert fd != 0.0
+        assert abs(g - fd) <= 0.25 * abs(fd), (g, fd)
+
+
+# ------------------------------------------------------ sphere silhouettes
+
+class TestSphereBoundary:
+    """Sphere silhouette boundary term (closed-form grazing circle) vs FD:
+    translating a sphere or growing its radius sweeps the silhouette
+    circle across pixels — zero gradient at fixed topology."""
+
+    W = H = 48
+    CAM = Pinhole.create(eye=(0, 0, 3), center=(0, 0, 0),
+                         fovy=np.deg2rad(45), aspect=1.0)
+
+    def _params(self, center, radius):
+        from visionaray_tpu.core.scene import Scene, Spheres
+        scene = Scene.create(
+            spheres=Spheres.create(center[None, :], radius[None]),
+            materials=Materials.matte(cd=(0.3, 0.7, 0.4)),
+            lights=PointLights.create(position=[[2, 3, 4]]))
+        return KernelParams.create(scene, num_bounces=1, epsilon=1e-3,
+                                   bg_color=BG, ambient_color=AMB)
+
+    def _loss_fd(self, center, radius, spp=64):
+        color, _ = _render_frame(
+            self._params(jnp.asarray(center), jnp.asarray(radius)),
+            self.CAM, self.W, self.H, "simple", spp, "jittered", 0,
+            jnp.uint32(1), 0)
+        return float(_loss_of_img(color))
+
+    def _loss_an(self, center, radius, with_boundary=True):
+        # interior at the SAME 64 jittered sample positions as the FD
+        # reference (correlated sampling: jitter is pixel_id-seeded,
+        # independent of theta) — the sphere's grazing shading makes the
+        # interior term steep near the silhouette, so a 1-spp uniform
+        # interior estimate would dominate the comparison error
+        from visionaray_tpu.diff.boundary import sphere_boundary_image
+        p = self._params(center, radius)
+        color, _ = _render_frame(p, self.CAM, self.W, self.H, "simple",
+                                 64, "jittered", 0, jnp.uint32(1), 0)
+        if with_boundary:
+            color = color + sphere_boundary_image(
+                p, self.CAM, self.W, self.H, algo="simple",
+                centers=center[None, :], radii=radius[None],
+                samples_per_sphere=64)
+        return _loss_of_img(color)
+
+    C0 = np.array([0.1, -0.15, 0.0], np.float32)
+    R0 = np.float32(0.55)
+
+    def test_center_translation_matches_fd(self):
+        h = 0.03
+        fd = (self._loss_fd(self.C0 + [h, 0, 0], self.R0)
+              - self._loss_fd(self.C0 - [h, 0, 0], self.R0)) / (2 * h)
+        g = jax.grad(lambda t: self._loss_an(
+            jnp.asarray(self.C0) + jnp.array([t, 0, 0]),
+            jnp.asarray(self.R0)))(0.0)
+        g_int = jax.grad(lambda t: self._loss_an(
+            jnp.asarray(self.C0) + jnp.array([t, 0, 0]),
+            jnp.asarray(self.R0), with_boundary=False))(0.0)
+        assert fd != 0.0
+        assert abs(float(g) - fd) <= 0.15 * abs(fd) + 2e-4, (float(g), fd)
+        # interior alone must miss a large part of the gradient
+        assert abs(float(g_int) - fd) > 2 * abs(float(g) - fd), (
+            float(g_int), float(g), fd)
+
+    def test_radius_gradient_matches_fd(self):
+        h = 0.02
+        fd = (self._loss_fd(self.C0, self.R0 + h)
+              - self._loss_fd(self.C0, self.R0 - h)) / (2 * h)
+        g = jax.grad(lambda r: self._loss_an(
+            jnp.asarray(self.C0), r))(jnp.asarray(self.R0))
+        assert fd != 0.0
+        assert abs(float(g) - fd) <= 0.15 * abs(fd) + 2e-4, (float(g), fd)
+
+    def test_value_is_zero(self):
+        from visionaray_tpu.diff.boundary import sphere_boundary_image
+        p = self._params(jnp.asarray(self.C0), jnp.asarray(self.R0))
+        b = sphere_boundary_image(p, self.CAM, self.W, self.H,
+                                  algo="simple")
+        assert float(jnp.abs(b).max()) == 0.0

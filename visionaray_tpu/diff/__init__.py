@@ -6,5 +6,5 @@ pixel-gradient that plain autodiff at fixed hit topology cannot see).
 
 from visionaray_tpu.diff.boundary import (  # noqa: F401
     EdgeAdjacency, boundary_image, build_edge_adjacency,
-    shadow_boundary_image, silhouette_mask,
+    shadow_boundary_image, silhouette_mask, sphere_boundary_image,
 )

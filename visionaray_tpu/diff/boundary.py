@@ -310,15 +310,30 @@ def shadow_boundary_image(params, cam, width: int, height: int,
                           nee: bool = False, samples_per_edge: int = 8,
                           delta: float = 0.03, seed: int = 0,
                           frame_num: int = 1, vertices=None,
-                          light_pos=None, light_index: int = 0):
+                          light_pos=None, light_index=0):
     """Zero-valued (H, W, 4) image whose gradient is the hard-shadow
-    boundary term of one point light.  Add it (with `boundary_image` for
-    the primary term) to the rendered image before the loss.
+    boundary term.  Add it (with `boundary_image` for the primary term)
+    to the rendered image before the loss.
 
-    ``light_pos``: differentiable (3,) light position; defaults to
-    ``params.scene.lights.position[light_index]``.  Scope: point/spot
-    lights (hard shadows); area-light penumbra terms remain future work.
+    ``light_index``: which point light to trace shadow curves for, or
+    ``None`` to SUM the term over every point light in the scene (each
+    light casts its own shadow curves; the boundary terms are additive
+    because each light's direct contribution jumps independently across
+    its own curve).  ``light_pos``: differentiable (3,) light position
+    overriding the selected light (also usable as one sampled point of
+    an AREA light: the penumbra boundary term is the expectation of this
+    hard term over light-surface points, so averaging calls over sampled
+    positions estimates it).  Scope: hard shadows.
     """
+    if light_index is None and light_pos is None:
+        n_lights = int(params.scene.lights.position.shape[0])
+        img = jnp.zeros((height, width, 4), jnp.float32)
+        for li in range(n_lights):
+            img = img + shadow_boundary_image(
+                params, cam, width, height, adjacency, algo=algo, nee=nee,
+                samples_per_edge=samples_per_edge, delta=delta, seed=seed,
+                frame_num=frame_num, vertices=vertices, light_index=li)
+        return img
     from visionaray_tpu.ops.trace import closest_hit
 
     mesh = params.scene.mesh
@@ -417,6 +432,122 @@ def shadow_boundary_image(params, cam, width: int, height: int,
 
     vel_n = jnp.sum(normal * p, axis=-1)             # gradient path
     contrib = w[..., None] * dF * vel_n[..., None]
+
+    ix = jnp.clip(jnp.floor(p_d[..., 0]).astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(jnp.floor(p_d[..., 1]).astype(jnp.int32), 0, height - 1)
+    img = jnp.zeros((height, width, 4), jnp.float32)
+    img = img.at[iy.reshape(-1), ix.reshape(-1)].add(contrib.reshape(-1, 4))
+    return img - jax.lax.stop_gradient(img)
+
+
+# ---------------------------------------------------------------------------
+# Sphere silhouettes: the boundary curve of a sphere is not a mesh edge
+# either — it is the circle where view rays graze the sphere.  The circle
+# is closed-form differentiable in (center, radius, eye):
+#
+#     w = (C − E)/d,  d = |C − E|
+#     circle center  Q = C − (R²/d)·w          (pulled toward the eye)
+#     circle radius  ρ = R·sqrt(1 − R²/d²),    in the plane ⊥ w
+#
+# so the same Δf-probe estimator applies with angle-parameterized samples
+# P(φ; θ) = Q + ρ(cos φ·u + sin φ·v) projected to the screen.
+
+
+def sphere_boundary_image(params, cam, width: int, height: int, *,
+                          algo: str = "simple", nee: bool = False,
+                          samples_per_sphere: int = 32,
+                          delta: float = 0.03, seed: int = 0,
+                          frame_num: int = 1, centers=None, radii=None):
+    """Zero-valued (H, W, 4) image whose gradient is the primary-
+    visibility boundary term of the scene's SPHERES (center and radius
+    gradients; camera too).  Companion to `boundary_image` (triangle
+    edges); add both to the rendered image before the loss.
+
+    ``centers``/``radii``: differentiable overrides; default to
+    ``params.scene.spheres``.
+    """
+    sph = params.scene.spheres
+    if centers is None:
+        centers = sph.center
+    if radii is None:
+        radii = sph.radius
+    E = jnp.asarray(cam.eye, jnp.float32)
+    view = cam.view_matrix()
+    proj = cam.proj_matrix()
+    sg = jax.lax.stop_gradient
+
+    S = centers.shape[0]
+    M = samples_per_sphere
+    to_c = centers - E[None, :]
+    d = jnp.linalg.norm(to_c, axis=-1)                     # (S,)
+    visible = sg(d) > sg(radii) * (1.0 + 1e-6)
+    w = to_c / jnp.maximum(d, 1e-12)[..., None]
+    # differentiable orthonormal frame ⊥ w; the helper axis is chosen
+    # DETACHED per sphere (argmin |w| component) so the frame never
+    # degenerates and the choice itself carries no gradient
+    helper_ix = jnp.argmin(jnp.abs(sg(w)), axis=-1)        # (S,)
+    helper = jnp.eye(3, dtype=jnp.float32)[helper_ix]
+    u = jnp.cross(w, helper)
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-12)
+    v = jnp.cross(w, u)
+
+    ratio = jnp.clip(radii / jnp.maximum(d, 1e-12), 0.0, 1.0 - 1e-7)
+    Q = centers - (radii * ratio)[..., None] * w           # (S, 3)
+    rho = radii * jnp.sqrt(1.0 - ratio * ratio)
+
+    phi = (jnp.arange(M, dtype=jnp.float32) + 0.5) / M * (2.0 * np.pi)
+
+    def circle_screen(phis):
+        P = (Q[:, None, :]
+             + rho[:, None, None] * (jnp.cos(phis)[None, :, None]
+                                     * u[:, None, :]
+                                     + jnp.sin(phis)[None, :, None]
+                                     * v[:, None, :]))    # (S, M, 3)
+        p = project(P, view, proj, (0.0, 0.0, width, height))[..., :2]
+        zv = (jnp.concatenate(
+            [P, jnp.ones_like(P[..., :1])], axis=-1) @ view.T)[..., 2]
+        return p, zv
+
+    p, zv = circle_screen(phi)
+    dphi = 0.5 * (2.0 * np.pi) / M
+    p_hi, _ = circle_screen(phi + dphi)
+    p_lo, _ = circle_screen(phi - dphi)
+    tan = sg(p_hi - p_lo)
+    seg = jnp.linalg.norm(tan, axis=-1)
+    tangent = tan / jnp.maximum(seg, 1e-12)[..., None]
+    normal = jnp.stack([-tangent[..., 1], tangent[..., 0]], axis=-1)
+    wgt = sg(seg / (2.0 * dphi) * (2.0 * np.pi / M))       # |dp/dφ|·Δφ
+
+    p_d = sg(p)
+    valid = (visible[:, None]
+             & (sg(zv) < -jnp.asarray(cam.z_near, jnp.float32))
+             & (p_d[..., 0] >= 0) & (p_d[..., 0] < width)
+             & (p_d[..., 1] >= 0) & (p_d[..., 1] < height))
+    wgt = jnp.where(valid, wgt, 0.0)
+
+    # Two-offset sqrt-extrapolated jump: on a CURVED silhouette the
+    # interior radiance approaches the limb with a sqrt profile (the
+    # normal tips over like sqrt(depth)), so a single finite-delta probe
+    # carries an O(sqrt(delta)) bias — measured 1.5x over-estimation at
+    # delta = 0.03 px.  With f(d) = f0 + c*sqrt(d):
+    # f0 = (sqrt(2)*f(d) - f(2d)) / (sqrt(2) - 1).
+    flat = lambda a: a.reshape(S * M, 2)
+
+    def jump(d):
+        probe = d * normal
+        f_m = _radiance_at(params, cam, flat(p_d - probe)[:, 0],
+                           flat(p_d - probe)[:, 1], width, height,
+                           algo, nee, seed, frame_num)
+        f_p = _radiance_at(params, cam, flat(p_d + probe)[:, 0],
+                           flat(p_d + probe)[:, 1], width, height,
+                           algo, nee, seed, frame_num)
+        return (f_m - f_p).reshape(S, M, 4)
+
+    r2 = np.float32(np.sqrt(2.0))
+    dF = (r2 * jump(delta) - jump(2.0 * delta)) / (r2 - 1.0)
+
+    vel_n = jnp.sum(normal * p, axis=-1)
+    contrib = wgt[..., None] * dF * vel_n[..., None]
 
     ix = jnp.clip(jnp.floor(p_d[..., 0]).astype(jnp.int32), 0, width - 1)
     iy = jnp.clip(jnp.floor(p_d[..., 1]).astype(jnp.int32), 0, height - 1)
