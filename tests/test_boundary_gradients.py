@@ -570,3 +570,23 @@ class TestSphereBoundary:
         b = sphere_boundary_image(p, self.CAM, self.W, self.H,
                                   algo="simple")
         assert float(jnp.abs(b).max()) == 0.0
+
+
+def test_matrix_camera_boundary_matches_pinhole():
+    """Boundary terms accept a MatrixCamera: the gradient must equal the
+    Pinhole gradient (the matrices ARE the same camera)."""
+    from visionaray_tpu.core.camera import MatrixCamera
+    adj = build_edge_adjacency(TRI_F)
+    mcam = MatrixCamera.from_pinhole(TRI_CAM)
+
+    def loss(t, cam):
+        v = jnp.asarray(TRI_V) + jnp.array([t, 0, 0])
+        p = _tri_params(v)
+        b = boundary_image(p, cam, W, H, adj, algo="simple", vertices=v,
+                           samples_per_edge=16)
+        return _loss_of_img(b)
+
+    g_pin = float(jax.grad(lambda t: loss(t, TRI_CAM))(0.0))
+    g_mat = float(jax.grad(lambda t: loss(t, mcam))(0.0))
+    assert g_pin != 0.0
+    assert abs(g_mat - g_pin) <= 2e-3 * abs(g_pin) + 1e-7, (g_mat, g_pin)

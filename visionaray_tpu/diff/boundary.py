@@ -148,6 +148,24 @@ def _detach(tree):
     return jax.tree_util.tree_map(jax.lax.stop_gradient, tree)
 
 
+def _cam_frame(cam):
+    """(view, proj, eye, z_near) for Pinhole OR MatrixCamera.
+
+    A MatrixCamera carries only the two matrices; the eye is the inverse-
+    view translation (-R^T t) and for a GL projection the near plane
+    recovers as m23 / (m22 - 1)  (= 2fn/(n-f) / ((f+n)/(n-f) - 1) = n).
+    All derivations are differentiable, so camera-matrix gradients flow
+    through the boundary terms too.
+    """
+    if hasattr(cam, "view_matrix"):
+        return cam.view_matrix(), cam.proj_matrix(), cam.eye, cam.z_near
+    view = cam.view
+    proj = cam.proj
+    eye = -(view[:3, :3].T @ view[:3, 3])
+    z_near = proj[2, 3] / (proj[2, 2] - 1.0)
+    return view, proj, eye, z_near
+
+
 def _radiance_at(params, cam, sx, sy, width, height, algo, nee, seed,
                  frame_num):
     """Trace full rays through continuous window coords (sx, sy) ∈
@@ -192,8 +210,7 @@ def boundary_image(params, cam, width: int, height: int,
     mesh = params.scene.mesh
     if vertices is None:
         vertices = mesh.vertices
-    view = cam.view_matrix()
-    proj = cam.proj_matrix()
+    view, proj, cam_eye, cam_znear = _cam_frame(cam)
 
     # --- differentiable endpoint projection -----------------------------
     win = project(vertices, view, proj, (0.0, 0.0, width, height))[..., :2]
@@ -209,7 +226,7 @@ def boundary_image(params, cam, width: int, height: int,
     normal = jnp.stack([-tangent[..., 1], tangent[..., 0]], axis=-1)
 
     sil = silhouette_mask(jax.lax.stop_gradient(vertices), mesh.faces,
-                          adjacency, jax.lax.stop_gradient(cam.eye),
+                          adjacency, jax.lax.stop_gradient(cam_eye),
                           geom_ids=mesh.geom_ids)
 
     # near-plane cull: an edge with an endpoint behind the eye projects
@@ -218,7 +235,7 @@ def boundary_image(params, cam, width: int, height: int,
     vh = jnp.concatenate([vertices, jnp.ones_like(vertices[..., :1])],
                          axis=-1)
     z_view = (jax.lax.stop_gradient(vh) @ view.T)[..., 2]
-    in_front = z_view < -jnp.asarray(cam.z_near, jnp.float32)
+    in_front = z_view < -jnp.asarray(cam_znear, jnp.float32)
     valid = (sil & in_front[adjacency.edges[:, 0]]
              & in_front[adjacency.edges[:, 1]] & (seg_len > 1e-6))
 
@@ -342,8 +359,7 @@ def shadow_boundary_image(params, cam, width: int, height: int,
     if light_pos is None:
         light_pos = params.scene.lights.position[light_index]
     L = jnp.asarray(light_pos, jnp.float32)
-    view = cam.view_matrix()
-    proj = cam.proj_matrix()
+    view, proj, _, _ = _cam_frame(cam)
     eps = jnp.float32(params.epsilon)
 
     sg = jax.lax.stop_gradient
@@ -471,9 +487,8 @@ def sphere_boundary_image(params, cam, width: int, height: int, *,
         centers = sph.center
     if radii is None:
         radii = sph.radius
-    E = jnp.asarray(cam.eye, jnp.float32)
-    view = cam.view_matrix()
-    proj = cam.proj_matrix()
+    view, proj, cam_eye, cam_znear = _cam_frame(cam)
+    E = jnp.asarray(cam_eye, jnp.float32)
     sg = jax.lax.stop_gradient
 
     S = centers.shape[0]
@@ -520,7 +535,7 @@ def sphere_boundary_image(params, cam, width: int, height: int, *,
 
     p_d = sg(p)
     valid = (visible[:, None]
-             & (sg(zv) < -jnp.asarray(cam.z_near, jnp.float32))
+             & (sg(zv) < -jnp.asarray(cam_znear, jnp.float32))
              & (p_d[..., 0] >= 0) & (p_d[..., 0] < width)
              & (p_d[..., 1] >= 0) & (p_d[..., 1] < height))
     wgt = jnp.where(valid, wgt, 0.0)
