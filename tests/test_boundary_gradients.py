@@ -590,3 +590,23 @@ def test_matrix_camera_boundary_matches_pinhole():
     g_mat = float(jax.grad(lambda t: loss(t, mcam))(0.0))
     assert g_pin != 0.0
     assert abs(g_mat - g_pin) <= 2e-3 * abs(g_pin) + 1e-7, (g_mat, g_pin)
+
+
+def test_render_boundary_flag_spheres():
+    """render(boundary=True) on a sphere scene adds the sphere term: the
+    gradient of a loss over the frame w.r.t. a center translation is
+    nonzero (no mesh in the scene at all)."""
+    from visionaray_tpu.core.scene import Scene, Spheres
+
+    def loss(t):
+        scene = Scene.create(
+            spheres=Spheres.create(
+                jnp.asarray([[0.1 + t, -0.15, 0.0]]), jnp.asarray([0.55])),
+            materials=Materials.matte(cd=(0.3, 0.7, 0.4)),
+            lights=PointLights.create(position=[[2, 3, 4]]))
+        rt = render(scene, TRI_CAM, W, H, algo="simple", bg_color=BG,
+                    ambient=AMB, epsilon=1e-3, boundary=True)
+        return _loss_of_img(rt.color)
+
+    g = float(jax.grad(loss)(0.0))
+    assert g != 0.0 and np.isfinite(g)

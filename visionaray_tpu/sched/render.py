@@ -251,13 +251,19 @@ def render(scene, cam, width: int, height: int, algo: str = "simple",
         # EdgeAdjacency for use under jit/grad tracing.
         from visionaray_tpu.diff.boundary import (
             EdgeAdjacency, boundary_image, build_edge_adjacency,
+            sphere_boundary_image,
         )
-        adj = boundary if isinstance(boundary, EdgeAdjacency) \
-            else build_edge_adjacency(np.asarray(scene.mesh.faces),
-                                      np.asarray(scene.mesh.vertices))
-        color = color + boundary_image(
-            params, cam, width, height, adj, algo=algo, nee=nee,
-            frame_num=frame_num, seed=seed, **(boundary_opts or {}))
+        if scene.mesh is not None:
+            adj = boundary if isinstance(boundary, EdgeAdjacency) \
+                else build_edge_adjacency(np.asarray(scene.mesh.faces),
+                                          np.asarray(scene.mesh.vertices))
+            color = color + boundary_image(
+                params, cam, width, height, adj, algo=algo, nee=nee,
+                frame_num=frame_num, seed=seed, **(boundary_opts or {}))
+        if scene.spheres is not None:
+            color = color + sphere_boundary_image(
+                params, cam, width, height, algo=algo, nee=nee,
+                frame_num=frame_num, seed=seed)
 
     if rt is None:
         return RenderTarget(color=color, depth=depth, width=width, height=height)
